@@ -1,0 +1,189 @@
+"""Image resampling ops in pure jax.numpy (NHWC layout).
+
+Exact-convention replacements for the torch/torchvision ops the reference
+relies on, so loss values are comparable bit-for-bit in tests:
+
+  resize_nearest       <- F.interpolate(mode='nearest')      (floor(i*scale))
+  resize_bilinear      <- F.interpolate(mode='bilinear', align_corners=False)
+  downsample_area      <- F.interpolate(mode='area', 0.5**k) (= average pool)
+  upsample_repeat      <- F.interpolate(mode='area') upsampling by int factor
+  grid_sample          <- F.grid_sample(align_corners=False, zeros padding)
+  rotate               <- torchvision.transforms.functional.rotate
+  color_jitter         <- torchvision.transforms.ColorJitter
+
+All functions are jit-safe with static shapes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Resizing
+# ---------------------------------------------------------------------------
+
+def resize_nearest(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """(..., H, W, C) -> (..., h, w, C), torch nearest convention i*H/h floored."""
+    h_in, w_in = img.shape[-3], img.shape[-2]
+    h, w = out_hw
+    ri = jnp.floor(jnp.arange(h) * (h_in / h)).astype(jnp.int32)
+    ci = jnp.floor(jnp.arange(w) * (w_in / w)).astype(jnp.int32)
+    return img[..., ri[:, None], ci[None, :], :]
+
+
+def resize_bilinear(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Half-pixel-centres bilinear (torch align_corners=False), NHWC."""
+    shape = img.shape[:-3] + (out_hw[0], out_hw[1], img.shape[-1])
+    return jax.image.resize(img, shape, method="bilinear", antialias=False)
+
+
+def downsample_area(img: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Average-pool by an integer factor (== torch 'area' downsample)."""
+    if factor == 1:
+        return img
+    *lead, h, w, c = img.shape
+    x = img.reshape(*lead, h // factor, factor, w // factor, factor, c)
+    return x.mean(axis=(-4, -2))
+
+
+def upsample_repeat(img: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Nearest-duplicate upsample by integer factor (== torch 'area' upsample)."""
+    if factor == 1:
+        return img
+    x = jnp.repeat(img, factor, axis=-3)
+    return jnp.repeat(x, factor, axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# grid_sample
+# ---------------------------------------------------------------------------
+
+def grid_sample(img: jnp.ndarray, coords: jnp.ndarray,
+                mode: str = "bilinear") -> jnp.ndarray:
+    """Sample (B, H, W, C) at NDC coords (B, N, 2) (x, y in [-1, 1]).
+
+    torch F.grid_sample semantics with align_corners=False and zero padding:
+    ix = (x + 1) * W/2 - 0.5. Returns (B, N, C). Fully differentiable in both
+    img and coords (bilinear mode).
+    """
+    b, h, w, c = img.shape
+    x = (coords[..., 0] + 1.0) * (w / 2.0) - 0.5
+    y = (coords[..., 1] + 1.0) * (h / 2.0) - 0.5
+
+    if mode == "nearest":
+        # torch 'nearest' in grid_sample rounds to nearest source pixel
+        xi = jnp.round(x).astype(jnp.int32)
+        yi = jnp.round(y).astype(jnp.int32)
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi = jnp.clip(xi, 0, w - 1)
+        yi = jnp.clip(yi, 0, h - 1)
+        out = jnp.take_along_axis(
+            img.reshape(b, h * w, c),
+            (yi * w + xi)[..., None], axis=1)
+        return out * inb[..., None]
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi_c = jnp.clip(xi, 0, w - 1)
+        yi_c = jnp.clip(yi, 0, h - 1)
+        v = jnp.take_along_axis(img.reshape(b, h * w, c),
+                                (yi_c * w + xi_c)[..., None], axis=1)
+        return v * inb[..., None]
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    return ((1 - wy) * ((1 - wx) * v00 + wx * v01)
+            + wy * ((1 - wx) * v10 + wx * v11))
+
+
+def grid_sample_map(img: jnp.ndarray, grid: jnp.ndarray,
+                    mode: str = "bilinear") -> jnp.ndarray:
+    """grid_sample with a (B, Ho, Wo, 2) sampling map -> (B, Ho, Wo, C)."""
+    b, ho, wo, _ = grid.shape
+    out = grid_sample(img, grid.reshape(b, ho * wo, 2), mode=mode)
+    return out.reshape(b, ho, wo, -1)
+
+
+# ---------------------------------------------------------------------------
+# Rotation (about image centre) and color jitter
+# ---------------------------------------------------------------------------
+
+def rotate(img: jnp.ndarray, angle_deg: jnp.ndarray, mode: str = "bilinear") -> jnp.ndarray:
+    """Rotate (B, H, W, C) counter-clockwise by angle_deg about the centre,
+    zero fill — torchvision.transforms.functional.rotate semantics."""
+    b, h, w, c = img.shape
+    theta = jnp.deg2rad(angle_deg)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # output pixel centres in NDC-ish centred coords
+    ys = (jnp.arange(h) + 0.5) - h / 2.0
+    xs = (jnp.arange(w) + 0.5) - w / 2.0
+    xx, yy = jnp.meshgrid(xs, ys)
+    # inverse mapping: rotate output coords by -angle (y axis points down, so
+    # CCW visual rotation is CW in index space)
+    src_x = cos * xx - sin * yy
+    src_y = sin * xx + cos * yy
+    gx = (src_x + w / 2.0) / (w / 2.0) - 1.0
+    gy = (src_y + h / 2.0) / (h / 2.0) - 1.0
+    grid = jnp.stack([gx, gy], axis=-1)[None].repeat(b, 0)
+    return grid_sample_map(img, grid, mode=mode)
+
+
+def _rgb_to_gray(img: jnp.ndarray) -> jnp.ndarray:
+    r, g, b = img[..., 0:1], img[..., 1:2], img[..., 2:3]
+    return 0.2989 * r + 0.587 * g + 0.114 * b
+
+
+import numpy as _np
+
+_RGB2YIQ = jnp.asarray(_np.array(
+    [[0.2989, 0.587, 0.114],
+     [0.595716, -0.274453, -0.321263],
+     [0.211456, -0.522591, 0.311135]], _np.float32))
+_YIQ2RGB = jnp.asarray(_np.linalg.inv(_np.array(
+    [[0.2989, 0.587, 0.114],
+     [0.595716, -0.274453, -0.321263],
+     [0.211456, -0.522591, 0.311135]], _np.float64)).astype(_np.float32))
+
+
+def color_jitter(key: jax.Array, img: jnp.ndarray,
+                 brightness: float = 0.2, contrast: float = 0.2,
+                 saturation: float = 0.2, hue: float = 0.05) -> jnp.ndarray:
+    """Batch-wide color jitter on (B, H, W, 3) in [0, 1].
+
+    One factor draw per call (the reference jitters the whole batch with one
+    transform instance per forward, encoder.py:19,31). Application order is
+    fixed brightness->contrast->saturation->hue (torch randomizes the order;
+    the distributions are near-identical for these small ranges).
+    """
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    fb = jax.random.uniform(kb, (), minval=1 - brightness, maxval=1 + brightness)
+    fc = jax.random.uniform(kc, (), minval=1 - contrast, maxval=1 + contrast)
+    fs = jax.random.uniform(ks, (), minval=1 - saturation, maxval=1 + saturation)
+    fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
+
+    x = img * fb
+    gray_mean = _rgb_to_gray(x).mean(axis=(-3, -2), keepdims=True)
+    x = fc * x + (1 - fc) * gray_mean
+    gray = _rgb_to_gray(x)
+    x = fs * x + (1 - fs) * gray
+    # hue shift: rotate chroma in YIQ space (exact round-trip at fh = 0)
+    yiq = jnp.einsum("...c,dc->...d", x, _RGB2YIQ)
+    th = 2 * jnp.pi * fh
+    cos_t, sin_t = jnp.cos(th), jnp.sin(th)
+    i2 = cos_t * yiq[..., 1:2] - sin_t * yiq[..., 2:3]
+    q2 = sin_t * yiq[..., 1:2] + cos_t * yiq[..., 2:3]
+    yiq = jnp.concatenate([yiq[..., 0:1], i2, q2], axis=-1)
+    x = jnp.einsum("...c,dc->...d", yiq, _YIQ2RGB)
+    return jnp.clip(x, 0.0, 1.0)
