@@ -70,9 +70,11 @@ def test_umeyama_exact_recovery():
     assert bool(ok)
     # the reference's mixed /n vs /(n-1) normalization biases scale by (n-1)/n
     n = src.shape[0]
-    np.testing.assert_allclose(float(sc), s * (n - 1) / n, rtol=1e-4)
+    s_biased = s * (n - 1) / n
+    np.testing.assert_allclose(float(sc), s_biased, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(Re), R, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(tr), t, atol=1e-4)
+    t_expected = tgt.mean(0) - s_biased * (src.mean(0) @ R)
+    np.testing.assert_allclose(np.asarray(tr), t_expected, atol=1e-4)
 
 
 def test_umeyama_matches_reference_torch():
