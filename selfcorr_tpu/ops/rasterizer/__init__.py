@@ -9,3 +9,8 @@ Modules:
   pallas_raster.py  fused streaming Pallas TPU kernels fwd/bwd
   api.py        public entry points: soft_rasterize(), render_fused()
 """
+from selfcorr_tpu.ops.rasterizer.api import (  # noqa: F401
+    RasterConfig,
+    soft_rasterize,
+    render_fused,
+)

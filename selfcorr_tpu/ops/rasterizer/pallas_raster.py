@@ -1,0 +1,630 @@
+"""Fused soft-rasterizer Pallas TPU kernels.
+
+One streaming pass over (pixel-tile x face-chunk) pairs computes ALL FOUR
+render passes the training step needs (the reference launches four separate
+CUDA rasterizations, model/module/renderer.py:13-26,38-73):
+
+  alpha1  sigma=1e-4 'prod' coverage  -> mask_render == depth_mask == match_mask
+  depth   softmax(gamma=1e-4) camera-z, white bg
+  alpha2  sigma=1e-3 coverage         -> tex_mask
+  tex     softmax(gamma=1e-2) rgb, white bg
+  match   hard nearest-face rgb (forward-only; reference renders detached)
+
+They share the signed euclidean distance / barycentric geometry, so the fused
+kernel costs ~1.3x ONE pass instead of 4x. Both coverage sigmas reuse one
+distance; only the sigmoids/softmaxes differ.
+
+Streaming design (per grid step = one (batch, 8x128-pixel tile)):
+  * per-face constants for the whole mesh live in VMEM (F x 128 f32);
+  * a fori_loop walks 16-face chunks carrying running softmax (max, sum,
+    accumulator) + coverage products + hard-z winner — the same running-max
+    trick as the CUDA kernel (kernel.cu:437-451) so state is O(pixels);
+  * chunks whose bbox (padded by the coverage cutoff radius) misses the tile
+    are skipped with lax.cond — the soft support is only ~12px wide at
+    sigma=1e-3, so most (tile, chunk) pairs skip.
+
+The backward kernel recomputes per-pair geometry and accumulates per-face
+gradient sums deterministically (fixed reduction order — no CUDA atomicAdd
+nondeterminism), emitting d/d(packed constants); autodiff through the jnp
+packing code (common.pack_face_constants) turns those into vertex/texture
+gradients. Gradient semantics match the CUDA backward
+(kernel.cu:486-668): interpolation weights are constants, vertex xy grads
+flow only through coverage, z grads through the softmax weights.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from selfcorr_tpu.ops.rasterizer import common as C
+
+# ---------------------------------------------------------------------------
+# Constant packing (differentiable jnp; slot layout shared fwd/bwd)
+# ---------------------------------------------------------------------------
+
+K = 128          # lanes per face in the packed constant array
+FF = 16          # faces per streamed chunk
+TR, TC = 8, 128  # pixel tile: 8 rows x 128 cols
+
+# slot offsets
+S_WA = 0      # 9: barycentric affine coeffs (3 bary x [ax, ay, ac])
+S_LINE = 9    # 9: per-edge line coeffs
+S_SEG = 18    # 9: per-edge segment-parameter coeffs
+S_E2 = 27     # 3: squared edge lengths
+S_PC = 30     # 9: per-edge |p-v0|^2 coeffs
+S_IZ = 39     # 3: 1/z per corner
+S_Z = 42      # 3: z per corner
+S_FRONT = 45  # 1
+S_BBOX = 46   # 4: xmin, xmax, ymin, ymax
+S_STEX = 50   # 9: soft texture (3 corners x rgb)
+S_HTEX = 59   # 9: hard texture
+N_SLOTS = 68
+
+_BIG = 1e9
+
+
+def pad_faces(x: jnp.ndarray, f_pad: int, value: float = 0.0) -> jnp.ndarray:
+    pad = f_pad - x.shape[1]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[1] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def pack_constants(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
+                   hard_tex: jnp.ndarray) -> jnp.ndarray:
+    """(B,F,3,3) verts + textures -> (B, F_padded, 128) f32, differentiable.
+
+    Padded faces are inert: |p-v0|^2 offset 1e9 kills coverage; bbox far away
+    enables chunk skipping; z=1 avoids inf.
+    """
+    b, f = face_verts.shape[:2]
+    f_pad = -(-f // FF) * FF
+    c = C.pack_face_constants(face_verts)
+    cols = [
+        c.w_a.reshape(b, f, 9),
+        c.line.reshape(b, f, 9),
+        c.seg.reshape(b, f, 9),
+        c.e2,
+        c.pc.reshape(b, f, 9),
+        c.inv_z,
+        c.z,
+        c.front[..., None],
+        c.bbox,
+        soft_tex.reshape(b, f, 9),
+        jax.lax.stop_gradient(hard_tex).reshape(b, f, 9),
+    ]
+    packed = jnp.concatenate(cols, axis=-1).astype(jnp.float32)
+    packed = jnp.pad(packed, ((0, 0), (0, 0), (0, K - N_SLOTS)))
+    if f_pad != f:
+        filler = jnp.zeros((b, f_pad - f, K), jnp.float32)
+        filler = filler.at[..., S_PC + 2].set(_BIG)   # pv0 offset (edge 0)
+        filler = filler.at[..., S_PC + 5].set(_BIG)
+        filler = filler.at[..., S_PC + 8].set(_BIG)
+        filler = filler.at[..., S_BBOX + 0].set(_BIG)
+        filler = filler.at[..., S_BBOX + 1].set(_BIG + 1)
+        filler = filler.at[..., S_BBOX + 2].set(_BIG)
+        filler = filler.at[..., S_BBOX + 3].set(_BIG + 1)
+        filler = filler.at[..., S_IZ:S_IZ + 3].set(1.0)
+        filler = filler.at[..., S_Z:S_Z + 3].set(1.0)
+        packed = jnp.concatenate([packed, filler], axis=1)
+    return packed
+
+
+# ---------------------------------------------------------------------------
+# Shared per-chunk geometry (traced inside kernels)
+# ---------------------------------------------------------------------------
+
+def _cols(cv, j, n=1):
+    """cv: (FF, K) chunk constants -> (FF, 1, 1) broadcastable column(s).
+
+    Never materializes rank-1 arrays (Mosaic layout inference requires
+    rank >= 2 on TPU vectors)."""
+    if n == 1:
+        return cv[:, j:j + 1][:, :, None]
+    return [cv[:, j + i:j + i + 1][:, :, None] for i in range(n)]
+
+
+def _affine(cv, j, xs, ys):
+    a, b, c = _cols(cv, j, 3)
+    return a * xs + b * ys + c
+
+
+def _chunk_geometry(cv, xs, ys, p2, sigma1, sigma2, near, far):
+    """All per-(face-in-chunk, pixel) quantities. Shapes (FF, TR, TC)."""
+    w0 = _affine(cv, S_WA + 0, xs, ys)
+    w1 = _affine(cv, S_WA + 3, xs, ys)
+    w2 = _affine(cv, S_WA + 6, xs, ys)
+    inside = ((w0 > 0) & (w0 < 1) & (w1 > 0) & (w1 < 1)
+              & (w2 > 0) & (w2 < 1))
+
+    dline2 = None
+    dseg2 = None
+    seg_cache = []
+    for e in range(3):
+        lv = _affine(cv, S_LINE + 3 * e, xs, ys)
+        l2 = lv * lv
+        dline2 = l2 if dline2 is None else jnp.minimum(dline2, l2)
+
+        s = _affine(cv, S_SEG + 3 * e, xs, ys)
+        t = jnp.clip(s, 0.0, 1.0)
+        pv0 = p2 + _affine(cv, S_PC + 3 * e, xs, ys)
+        e2 = _cols(cv, S_E2 + e)
+        d2 = jnp.maximum(pv0 - 2.0 * t * s * e2 + t * t * e2, 0.0)
+        seg_cache.append((lv, s, t, e2, d2))
+        dseg2 = d2 if dseg2 is None else jnp.minimum(dseg2, d2)
+
+    dis2 = jnp.where(inside, dline2, dseg2)
+    sign = jnp.where(inside, 1.0, -1.0)
+
+    contrib1 = inside | (dis2 < sigma1 * C.DIST_CUT)
+    contrib2 = inside | (dis2 < sigma2 * C.DIST_CUT)
+    d1 = jax.nn.sigmoid(sign * dis2 / sigma1) * contrib1
+    d2_ = jax.nn.sigmoid(sign * dis2 / sigma2) * contrib2
+
+    c0 = jnp.clip(w0, 0.0, 1.0)
+    c1 = jnp.clip(w1, 0.0, 1.0)
+    c2 = jnp.clip(w2, 0.0, 1.0)
+    wsum = jnp.maximum(c0 + c1 + c2, 1e-5)
+    c0, c1, c2 = c0 / wsum, c1 / wsum, c2 / wsum
+
+    iz0, iz1, iz2 = _cols(cv, S_IZ, 3)
+    zp = 1.0 / (c0 * iz0 + c1 * iz1 + c2 * iz2)
+    z_ok = (zp >= near) & (zp <= far)
+    zn = (far - zp) / (far - near)
+
+    return dict(w=(w0, w1, w2), inside=inside, dis2=dis2, sign=sign,
+                contrib1=contrib1, contrib2=contrib2, D1=d1, D2=d2_,
+                wc=(c0, c1, c2), zp=zp, z_ok=z_ok, zn=zn,
+                dline2=dline2, seg_cache=seg_cache, dseg2=dseg2)
+
+
+def _prod_faces(x):
+    """prod over the leading (face) axis via pairwise tree reduction —
+    Mosaic has no reduce_prod lowering. x: (FF, TR, TC) -> (1, TR, TC)."""
+    n = x.shape[0]
+    while n > 1:
+        half = n // 2
+        x = x[:half] * x[half:half * 2] if n % 2 == 0 else \
+            jnp.concatenate([x[:half] * x[half:half * 2], x[-1:]], axis=0)
+        n = x.shape[0]
+    return x
+
+
+def _softmax_update(m, s, accs, zn_masked, d_cov, values, gamma):
+    """Streaming-softmax accumulator update over one face chunk.
+
+    m, s: (1,TR,TC) running max / sum; accs: list of (1,TR,TC) channel sums;
+    zn_masked: (FF,TR,TC) (-inf where excluded); d_cov: coverage weights;
+    values: list of (FF,TR,TC) channel values.
+    """
+    m_new = jnp.maximum(m, jnp.max(zn_masked, axis=0, keepdims=True))
+    scale = jnp.exp((m - m_new) / gamma)
+    wgt = d_cov * jnp.exp((zn_masked - m_new) / gamma)
+    s_new = s * scale + jnp.sum(wgt, axis=0, keepdims=True)
+    accs_new = [a * scale + jnp.sum(wgt * v, axis=0, keepdims=True)
+                for a, v in zip(accs, values)]
+    return m_new, s_new, accs_new
+
+
+def _tile_pixel_coords(image_size):
+    """Static per-tile NDC coordinate builders from grid ids (pr, pc)."""
+    s = image_size
+    pr = pl.program_id(1)
+    pc = pl.program_id(2)
+    rows = pr * TR + jax.lax.broadcasted_iota(jnp.int32, (1, TR, 1), 1)
+    colsn = pc * min(TC, s) + jax.lax.broadcasted_iota(jnp.int32, (1, 1, min(TC, s)), 2)
+    ys = (s - 1.0 - 2.0 * rows.astype(jnp.float32)) / s
+    xs = (2.0 * colsn.astype(jnp.float32) + 1.0 - s) / s
+    return xs, ys
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(consts_ref, *out_refs, image_size, n_chunks,
+                sigma1, sigma2, gamma_d, gamma_t, near, far, bg_eps, z_offset):
+    (a1_ref, a2_ref, depth_ref, texr_ref, texg_ref, texb_ref,
+     matr_ref, matg_ref, matb_ref, md_ref, sd_ref, mt_ref, st_ref) = out_refs
+
+    s_img = image_size
+    tc = min(TC, s_img)
+    xs, ys = _tile_pixel_coords(s_img)
+    p2 = xs * xs + ys * ys
+
+    # tile bounds with cutoff padding (sigma2 has the wider support)
+    pad = math.sqrt(sigma2 * C.DIST_CUT)
+    x_lo = jnp.min(xs) - pad
+    x_hi = jnp.max(xs) + pad
+    y_lo = jnp.min(ys) - pad
+    y_hi = jnp.max(ys) + pad
+
+    shp = (1, TR, tc)
+    zeros = jnp.zeros(shp, jnp.float32)
+    ones = jnp.ones(shp, jnp.float32)
+
+    def body(ci, carry):
+        (p1, p2_prod, m_d, s_d, acc_d, m_t, s_t, acc_tr, acc_tg, acc_tb,
+         zmin, hr, hg, hb) = carry
+        cv = consts_ref[0, pl.ds(ci * FF, FF), :]  # (FF, K)
+
+        bb = cv[:, S_BBOX:S_BBOX + 4]  # (FF, 4)
+        overlap = ((bb[:, 0:1] <= x_hi) & (bb[:, 1:2] >= x_lo)
+                   & (bb[:, 2:3] <= y_hi) & (bb[:, 3:4] >= y_lo))
+        any_overlap = jnp.any(overlap)
+
+        def compute(carry):
+            (p1, p2_prod, m_d, s_d, acc_d, m_t, s_t, acc_tr, acc_tg, acc_tb,
+             zmin, hr, hg, hb) = carry
+            g = _chunk_geometry(cv, xs, ys, p2, sigma1, sigma2, near, far)
+            d1, d2 = g["D1"], g["D2"]
+            c0, c1, c2 = g["wc"]
+
+            p1 = p1 * _prod_faces(1.0 - d1)
+            p2_prod = p2_prod * _prod_faces(1.0 - d2)
+
+            contrib_d = g["contrib1"] & g["z_ok"]
+            zn_d = jnp.where(contrib_d, g["zn"], -jnp.inf)
+            z0, z1, z2 = _cols(cv, S_Z, 3)
+            val_d = (c0 * (z0 - z_offset) + c1 * (z1 - z_offset)
+                     + c2 * (z2 - z_offset))
+            m_d, s_d, (acc_d,) = _softmax_update(
+                m_d, s_d, [acc_d], zn_d, d1, [val_d], gamma_d)
+
+            contrib_t = g["contrib2"] & g["z_ok"]
+            zn_t = jnp.where(contrib_t, g["zn"], -jnp.inf)
+            tex = _cols(cv, S_STEX, 9)
+            col_r = c0 * tex[0] + c1 * tex[3] + c2 * tex[6]
+            col_g = c0 * tex[1] + c1 * tex[4] + c2 * tex[7]
+            col_b = c0 * tex[2] + c1 * tex[5] + c2 * tex[8]
+            m_t, s_t, (acc_tr, acc_tg, acc_tb) = _softmax_update(
+                m_t, s_t, [acc_tr, acc_tg, acc_tb], zn_t, d2,
+                [col_r, col_g, col_b], gamma_t)
+
+            # hard pass: nearest containing face
+            w0, w1, w2 = g["w"]
+            inside_ns = ((w0 >= 0) & (w0 <= 1) & (w1 >= 0) & (w1 <= 1)
+                         & (w2 >= 0) & (w2 <= 1))
+            hard_ok = inside_ns & g["contrib1"] & g["z_ok"]
+            zp_h = jnp.where(hard_ok, g["zp"], jnp.inf)
+            chunk_min = jnp.min(zp_h, axis=0, keepdims=True)
+            eq = (zp_h == chunk_min) & hard_ok
+            # first-true along the face axis (CUDA keeps the earliest face on
+            # z ties); unrolled — FF is small and static
+            seen = jnp.zeros_like(eq[0:1])
+            firsts = []
+            for i in range(FF):
+                e_i = eq[i:i + 1]
+                firsts.append(e_i & (~seen))
+                seen = seen | e_i
+            fm = jnp.concatenate(firsts, axis=0).astype(jnp.float32)
+            htex = _cols(cv, S_HTEX, 9)
+            hc_r = jnp.sum(fm * (c0 * htex[0] + c1 * htex[3] + c2 * htex[6]),
+                           axis=0, keepdims=True)
+            hc_g = jnp.sum(fm * (c0 * htex[1] + c1 * htex[4] + c2 * htex[7]),
+                           axis=0, keepdims=True)
+            hc_b = jnp.sum(fm * (c0 * htex[2] + c1 * htex[5] + c2 * htex[8]),
+                           axis=0, keepdims=True)
+            is_new = chunk_min < zmin
+            hr = jnp.where(is_new, hc_r, hr)
+            hg = jnp.where(is_new, hc_g, hg)
+            hb = jnp.where(is_new, hc_b, hb)
+            zmin = jnp.minimum(zmin, chunk_min)
+
+            return (p1, p2_prod, m_d, s_d, acc_d, m_t, s_t,
+                    acc_tr, acc_tg, acc_tb, zmin, hr, hg, hb)
+
+        return jax.lax.cond(any_overlap, compute, lambda c: c, carry)
+
+    init = (ones, ones,                      # coverage products
+            jnp.full(shp, bg_eps), ones, ones,      # depth softmax (white bg)
+            jnp.full(shp, bg_eps), ones, ones, ones, ones,  # tex softmax
+            jnp.full(shp, jnp.inf), zeros, zeros, zeros)     # hard winner
+    (p1, p2_prod, m_d, s_d, acc_d, m_t, s_t, acc_tr, acc_tg, acc_tb,
+     zmin, hr, hg, hb) = jax.lax.fori_loop(0, n_chunks, body, init)
+
+    a1_ref[0] = (1.0 - p1)[0]
+    a2_ref[0] = (1.0 - p2_prod)[0]
+    depth_ref[0] = (acc_d / s_d)[0]
+    texr_ref[0] = (acc_tr / s_t)[0]
+    texg_ref[0] = (acc_tg / s_t)[0]
+    texb_ref[0] = (acc_tb / s_t)[0]
+    matr_ref[0] = hr[0]
+    matg_ref[0] = hg[0]
+    matb_ref[0] = hb[0]
+    md_ref[0] = m_d[0]
+    sd_ref[0] = s_d[0]
+    mt_ref[0] = m_t[0]
+    st_ref[0] = s_t[0]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(consts_ref, a1_ref, a2_ref, depth_ref, texr_ref, texg_ref,
+                texb_ref, md_ref, sd_ref, mt_ref, st_ref,
+                ga1_ref, ga2_ref, gd_ref, gtr_ref, gtg_ref, gtb_ref,
+                grad_ref, *, image_size, n_chunks,
+                sigma1, sigma2, gamma_d, gamma_t, near, far, bg_eps, z_offset):
+    s_img = image_size
+    tc = min(TC, s_img)
+    xs, ys = _tile_pixel_coords(s_img)
+    p2 = xs * xs + ys * ys
+
+    first_tile = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+    @pl.when(first_tile)
+    def _():
+        grad_ref[...] = jnp.zeros(grad_ref.shape, jnp.float32)
+
+    pad = math.sqrt(sigma2 * C.DIST_CUT)
+    x_lo = jnp.min(xs) - pad
+    x_hi = jnp.max(xs) + pad
+    y_lo = jnp.min(ys) - pad
+    y_hi = jnp.max(ys) + pad
+
+    # per-pixel residuals / grads, shaped (1, TR, tc)
+    ld = lambda ref: ref[0].reshape(1, TR, tc)
+    p1_tot = 1.0 - ld(a1_ref)
+    p2_tot = 1.0 - ld(a2_ref)
+    out_d = ld(depth_ref)
+    out_tr = ld(texr_ref)
+    out_tg = ld(texg_ref)
+    out_tb = ld(texb_ref)
+    m_d = ld(md_ref)
+    s_d = ld(sd_ref)
+    m_t = ld(mt_ref)
+    s_t = ld(st_ref)
+    g_a1 = ld(ga1_ref)
+    g_a2 = ld(ga2_ref)
+    g_d = ld(gd_ref)
+    g_tr = ld(gtr_ref)
+    g_tg = ld(gtg_ref)
+    g_tb = ld(gtb_ref)
+
+    def body(ci, _):
+        cv = consts_ref[0, pl.ds(ci * FF, FF), :]
+        bb = cv[:, S_BBOX:S_BBOX + 4]
+        any_overlap = jnp.any((bb[:, 0:1] <= x_hi) & (bb[:, 1:2] >= x_lo)
+                              & (bb[:, 2:3] <= y_hi) & (bb[:, 3:4] >= y_lo))
+
+        def compute(_):
+            g = _chunk_geometry(cv, xs, ys, p2, sigma1, sigma2, near, far)
+            d1, d2 = g["D1"], g["D2"]
+            c0, c1, c2 = g["wc"]
+            zp, zn = g["zp"], g["zn"]
+
+            # --- coverage (alpha prod) chains
+            dL_dD1 = g_a1 * p1_tot / jnp.maximum(1.0 - d1, 1e-6)
+            dL_dD2 = g_a2 * p2_tot / jnp.maximum(1.0 - d2, 1e-6)
+
+            # --- depth softmax chain
+            contrib_d = g["contrib1"] & g["z_ok"]
+            zn_d = jnp.where(contrib_d, zn, -jnp.inf)
+            u_d = jnp.exp((zn_d - m_d) / gamma_d) / s_d
+            z0, z1, z2 = _cols(cv, S_Z, 3)
+            val_d = (c0 * (z0 - z_offset) + c1 * (z1 - z_offset)
+                     + c2 * (z2 - z_offset))
+            r_d = val_d - out_d
+            wgt_d = d1 * u_d
+            dL_dD1 = dL_dD1 + g_d * r_d * u_d
+            dL_dzn = g_d * r_d * wgt_d / gamma_d
+            dL_dval = g_d * wgt_d  # -> z grads
+
+            # --- tex softmax chain
+            contrib_t = g["contrib2"] & g["z_ok"]
+            zn_t = jnp.where(contrib_t, zn, -jnp.inf)
+            u_t = jnp.exp((zn_t - m_t) / gamma_t) / s_t
+            tex = _cols(cv, S_STEX, 9)
+            col_r = c0 * tex[0] + c1 * tex[3] + c2 * tex[6]
+            col_g = c0 * tex[1] + c1 * tex[4] + c2 * tex[7]
+            col_b = c0 * tex[2] + c1 * tex[5] + c2 * tex[8]
+            gr_dot = (g_tr * (col_r - out_tr) + g_tg * (col_g - out_tg)
+                      + g_tb * (col_b - out_tb))
+            wgt_t = d2 * u_t
+            dL_dD2 = dL_dD2 + gr_dot * u_t
+            dL_dzn = dL_dzn + gr_dot * wgt_t / gamma_t
+            # texture color grads (per channel, per corner)
+            dL_dcol_r = g_tr * wgt_t
+            dL_dcol_g = g_tg * wgt_t
+            dL_dcol_b = g_tb * wgt_t
+
+            # --- D -> dis2
+            dL_ddis2 = (dL_dD1 * g["sign"] * d1 * (1.0 - d1) / sigma1
+                        + dL_dD2 * g["sign"] * d2 * (1.0 - d2) / sigma2)
+
+            # --- zn -> zp -> inv_z
+            dL_dzp = -dL_dzn / (far - near)
+            zp2 = zp * zp
+            dL_diz0 = -dL_dzp * zp2 * c0
+            dL_diz1 = -dL_dzp * zp2 * c1
+            dL_diz2 = -dL_dzp * zp2 * c2
+
+            # --- dis2 -> line / seg coefficient grads
+            inside = g["inside"]
+            seg_cache = g["seg_cache"]
+            dline2 = g["dline2"]
+            dseg2 = g["dseg2"]
+            f_in = dL_ddis2 * inside
+            f_out = dL_ddis2 * (~inside)
+
+            contribs = []  # list of (slot, (FF,TR,tc) value) to accumulate
+
+            # line grads: chosen edge = argmin of l^2 (first on ties)
+            chosen_line = None
+            for e in range(3):
+                lv = seg_cache[e][0]
+                is_min = (lv * lv) == dline2
+                if chosen_line is None:
+                    sel = is_min
+                    chosen_line = is_min
+                else:
+                    sel = is_min & (~chosen_line)
+                    chosen_line = chosen_line | is_min
+                dl = f_in * sel * 2.0 * lv
+                contribs.append((S_LINE + 3 * e + 0, dl * xs))
+                contribs.append((S_LINE + 3 * e + 1, dl * ys))
+                contribs.append((S_LINE + 3 * e + 2, dl))
+
+            chosen_seg = None
+            for e in range(3):
+                lv, s_e, t_e, e2_e, d2_e = seg_cache[e]
+                is_min = d2_e == dseg2
+                if chosen_seg is None:
+                    sel = is_min
+                    chosen_seg = is_min
+                else:
+                    sel = is_min & (~chosen_seg)
+                    chosen_seg = chosen_seg | is_min
+                fo = f_out * sel
+                ds_raw = fo * (-2.0 * t_e * e2_e)       # d d2/d s_raw
+                contribs.append((S_SEG + 3 * e + 0, ds_raw * xs))
+                contribs.append((S_SEG + 3 * e + 1, ds_raw * ys))
+                contribs.append((S_SEG + 3 * e + 2, ds_raw))
+                contribs.append((S_E2 + e, fo * (t_e * t_e - 2.0 * t_e * s_e)))
+                contribs.append((S_PC + 3 * e + 0, fo * xs))
+                contribs.append((S_PC + 3 * e + 1, fo * ys))
+                contribs.append((S_PC + 3 * e + 2, fo))
+
+            contribs.append((S_IZ + 0, dL_diz0))
+            contribs.append((S_IZ + 1, dL_diz1))
+            contribs.append((S_IZ + 2, dL_diz2))
+            contribs.append((S_Z + 0, dL_dval * c0))
+            contribs.append((S_Z + 1, dL_dval * c1))
+            contribs.append((S_Z + 2, dL_dval * c2))
+            for ch, dc in [(0, dL_dcol_r), (1, dL_dcol_g), (2, dL_dcol_b)]:
+                contribs.append((S_STEX + 0 + ch, dc * c0))
+                contribs.append((S_STEX + 3 + ch, dc * c1))
+                contribs.append((S_STEX + 6 + ch, dc * c2))
+
+            # reduce over pixels, assemble the (FF, K) slot matrix in one
+            # shot (static layout -> a single concatenated write, no
+            # per-slot lane scatters), and accumulate into the grad block
+            slot_vals = {}
+            for slot, vals in contribs:
+                # two-step reduce (lanes then sublanes) -> (FF, 1); a fused
+                # axis=(1,2) keepdims reduce trips Mosaic layout inference
+                red = jnp.sum(jnp.sum(vals, axis=2, keepdims=True), axis=1)
+                slot_vals[slot] = slot_vals.get(slot, 0.0) + red
+            zero_col = jnp.zeros((FF, 1), jnp.float32)
+            assembled = jnp.concatenate(
+                [slot_vals.get(j, zero_col) for j in range(K)], axis=1)
+            grad_ref[0, pl.ds(ci * FF, FF), :] += assembled
+            return 0
+
+        return jax.lax.cond(any_overlap, compute, lambda _: 0, 0)
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+def _grid_and_specs(b, f_pad, image_size):
+    s = image_size
+    tc = min(TC, s)
+    grid = (b, s // TR, s // tc)
+    consts_spec = pl.BlockSpec((1, f_pad, K), lambda bi, pr, pc: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)
+    pix_spec = pl.BlockSpec((1, TR, tc), lambda bi, pr, pc: (bi, pr, pc),
+                            memory_space=pltpu.VMEM)
+    return grid, consts_spec, pix_spec, tc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "image_size", "sigma1", "sigma2", "gamma_d", "gamma_t", "near", "far",
+    "bg_eps", "z_offset", "interpret"))
+def _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
+              near, far, bg_eps, z_offset, interpret=False):
+    b, f_pad, _ = consts.shape
+    grid, consts_spec, pix_spec, tc = _grid_and_specs(b, f_pad, image_size)
+    s = image_size
+    n_out = 13
+    kernel = functools.partial(
+        _fwd_kernel, image_size=s, n_chunks=f_pad // FF,
+        sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d, gamma_t=gamma_t,
+        near=near, far=far, bg_eps=bg_eps, z_offset=z_offset)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[consts_spec],
+        out_specs=[pix_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((b, s, s), jnp.float32)] * n_out,
+        interpret=interpret,
+    )(consts)
+    names = ["alpha1", "alpha2", "depth", "texr", "texg", "texb",
+             "matr", "matg", "matb", "m_d", "s_d", "m_t", "s_t"]
+    return dict(zip(names, outs))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "image_size", "sigma1", "sigma2", "gamma_d", "gamma_t", "near", "far",
+    "bg_eps", "z_offset", "interpret"))
+def _bwd_call(consts, fwd_out, grads, image_size, sigma1, sigma2,
+              gamma_d, gamma_t, near, far, bg_eps, z_offset, interpret=False):
+    b, f_pad, _ = consts.shape
+    grid, consts_spec, pix_spec, tc = _grid_and_specs(b, f_pad, image_size)
+    kernel = functools.partial(
+        _bwd_kernel, image_size=image_size, n_chunks=f_pad // FF,
+        sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d, gamma_t=gamma_t,
+        near=near, far=far, bg_eps=bg_eps, z_offset=z_offset)
+    grad_spec = pl.BlockSpec((1, f_pad, K), lambda bi, pr, pc: (bi, 0, 0),
+                             memory_space=pltpu.VMEM)
+    residual_names = ["alpha1", "alpha2", "depth", "texr", "texg", "texb",
+                      "m_d", "s_d", "m_t", "s_t"]
+    grad_names = ["alpha1", "alpha2", "depth", "texr", "texg", "texb"]
+    inputs = [consts] + [fwd_out[n] for n in residual_names] + \
+        [grads[n] for n in grad_names]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[consts_spec] + [pix_spec] * 16,
+        out_specs=grad_spec,
+        out_shape=jax.ShapeDtypeStruct((b, f_pad, K), jnp.float32),
+        interpret=interpret,
+    )(*inputs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8,
+                                                    9, 10))
+def raster_fused_core(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
+                      near, far, bg_eps, z_offset, interpret):
+    out = _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
+                    near, far, bg_eps, z_offset, interpret)
+    return {k: out[k] for k in ("alpha1", "alpha2", "depth",
+                                "texr", "texg", "texb",
+                                "matr", "matg", "matb")}
+
+
+def _core_fwd(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
+              near, far, bg_eps, z_offset, interpret):
+    out = _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
+                    near, far, bg_eps, z_offset, interpret)
+    public = {k: out[k] for k in ("alpha1", "alpha2", "depth",
+                                  "texr", "texg", "texb",
+                                  "matr", "matg", "matb")}
+    return public, (consts, out)
+
+
+def _core_bwd(image_size, sigma1, sigma2, gamma_d, gamma_t, near, far,
+              bg_eps, z_offset, interpret, res, g):
+    consts, fwd_out = res
+    grads = {"alpha1": g["alpha1"], "alpha2": g["alpha2"], "depth": g["depth"],
+             "texr": g["texr"], "texg": g["texg"], "texb": g["texb"]}
+    grads = {k: jnp.asarray(v, jnp.float32) for k, v in grads.items()}
+    dconsts = _bwd_call(consts, fwd_out, grads, image_size, sigma1, sigma2,
+                        gamma_d, gamma_t, near, far, bg_eps, z_offset,
+                        interpret)
+    return (dconsts,)
+
+
+raster_fused_core.defvjp(_core_fwd, _core_bwd)
