@@ -1,0 +1,178 @@
+"""Configuration: a frozen dataclass consumed by jitted code, plus an
+absl-flags bridge that accepts the reference's exact flag names and
+`--flagfile config/<cat>/base_config.txt` files (reference config.py:5-27 and
+per-module flag definitions; see SURVEY.md §5 'Config / flag system').
+
+Deliberately NOT replicated: the reference's latent flag bugs —
+x_scale/y_scale/z_scale used-but-undefined (mesh.py:97-99), unused
+topk_img/topk_mesh/nz_feat/feat_shape, and the dead `--logger wandb` value.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # data
+    category: str = "laptop"
+    dataset_name: str = "Wild6D"          # Wild6D | nocs | cub | synthetic
+    dataset_path: str = ""
+    train_list: str = ""
+    test_dataset_path: str = ""
+    test_list: str = ""
+    img_size: int = 256
+    use_depth: bool = False
+    use_occ: bool = False
+
+    # schedule / batch
+    total_iters: int = 20000
+    batch_size: int = 8                   # videos per device-group step
+    repeat: int = 4                       # frames per video
+    learning_rate: float = 1e-4
+    seed: int = 0
+
+    # model
+    depth_offset: float = 10.0
+    codedim: int = 64
+    n_corr_feat: int = 64
+    corr_h: int = 64
+    corr_w: int = 64
+    subdivide: int = 3
+    symmetry_idx: int = -1
+    init_scale: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    shape_prior: bool = False
+    shape_prior_path: str = ""
+    prior_deform: bool = False
+    no_deform: bool = False
+    deform_ratio: float = 1.0
+    use_scale: bool = False
+    rotation_offset: Tuple[float, ...] = (0.0,) * 6
+    base_rot: Tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)
+    num_multipose_az: int = 1
+    num_multipose_el: int = 1
+    surface_texture: bool = False
+    n_tex_sample: int = 6
+
+    # correspondence
+    tau_img: float = 10.0
+    tau_mesh: float = 10.0
+    divide_fn: str = "frame"              # frame | instance | both
+    pretrain_k: int = 100
+
+    # loss weights
+    mask_wt: float = 0.1
+    tex_wt: float = 0.05
+    depth_wt: float = 0.05
+    match_wt: float = 0.01
+    imatch_wt: float = 0.02
+    triangle_wt: float = 0.001
+    pullfar_wt: float = 0.001
+    deform_wt: float = 0.05
+    symmetry_wt: float = 1.0
+    camera_wt: float = 0.005
+    cycle_loss_wt: float = 0.2
+    cycle_loss_pretrain_wt: float = 0.05
+    decay_ratio: float = 1.0
+    flatten_loss: bool = False
+    camera_loss: bool = False
+    depth_loss_chamfer: bool = False
+
+    # optimizer
+    vert_lr_ratio: float = 0.1
+    cam_lr_ratio: float = 0.1
+
+    # infra
+    train: bool = True
+    checkpoint_dir: str = "log"
+    name: str = "exp"
+    model_path: str = ""
+    save_freq: int = 2000
+    vis_freq: int = 1000
+    batch_log_interval: int = 10
+    num_workers: int = 8
+    logger: str = "tensorboard"
+
+    # eval
+    dframe_eval: int = 10
+    eval: bool = False
+    eval_nocs: bool = False
+    eval_cub: bool = False
+    shuffle_test: bool = False
+    vis_path: str = ""
+
+    # TPU-specific (no reference analogue)
+    num_devices: int = 1                  # data-parallel mesh size
+    symmetry_npts: int = 10000            # surface samples in symmetry loss
+    ransac_iters: int = 100
+    pose_fit_max_points: int = 16384      # padded point budget for pose fit
+    use_pallas: bool = True
+    half_res_cycle: bool = True
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+_TUPLE_FIELDS = {"init_scale": 3, "rotation_offset": 6, "base_rot": 9}
+_FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(Config)}
+_IGNORED_FLAGS = {"ngpu", "local_rank", "topk_img", "topk_mesh", "nz_feat",
+                  "feat_shape", "n_faces"}
+
+
+def _parse_value(name: str, raw: str):
+    if name in _TUPLE_FIELDS:
+        parts = [p for p in raw.replace("[", "").replace("]", "").split(",") if p]
+        return tuple(float(p) for p in parts)
+    t = _FIELD_TYPES[name]
+    if t in ("bool", bool):
+        return raw.lower() in ("true", "1", "yes", "")
+    if t in ("int", int):
+        return int(raw)
+    if t in ("float", float):
+        return float(raw)
+    return raw
+
+
+def parse_args(argv, base: Config | None = None) -> Config:
+    """Parse reference-style '--flag=value' / '--flag value' / '--flag'
+    arguments, expanding --flagfile includes. Unknown reference-only flags are
+    ignored with a warning."""
+    cfg = dataclasses.asdict(base or Config())
+    tokens = list(argv)
+    i = 0
+    valid = set(_FIELD_TYPES)
+    while i < len(tokens):
+        tok = tokens[i]
+        i += 1
+        if not tok.startswith("--"):
+            continue
+        body = tok[2:]
+        if "=" in body:
+            name, raw = body.split("=", 1)
+        else:
+            name = body
+            if i < len(tokens) and not tokens[i].startswith("--"):
+                raw = tokens[i]
+                i += 1
+            else:
+                raw = ""
+        if name == "flagfile":
+            with open(raw) as f:
+                sub = [ln.strip() for ln in f
+                       if ln.strip() and not ln.strip().startswith("#")]
+            tokens[i:i] = sub
+            continue
+        neg = False
+        if name.startswith("no") and name[2:] in valid and name not in valid:
+            name = name[2:]
+            neg = True
+        if name in _IGNORED_FLAGS:
+            continue
+        if name not in valid:
+            print(f"[config] ignoring unknown flag --{name}")
+            continue
+        val = False if neg else _parse_value(name, raw)
+        cfg[name] = val
+    return Config(**cfg)

@@ -1,0 +1,83 @@
+"""Train state + the single jitted train step.
+
+The WHOLE iteration — forward (all losses incl. the fused Pallas renders and
+the frozen DINO pass), backward, per-group clipping, NaN guard, AdamW +
+OneCycle update, metric reduction — is ONE donated, sharded XLA program.
+The reference syncs the host every step for gradient collection and logging
+(trainer.py:122-150); here metrics come back as device scalars fetched
+asynchronously by the loop.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from selfcorr_tpu.configs import Config
+from selfcorr_tpu.models.meshnet import (MeshConstants, Networks,
+                                         build_mesh_constants, forward_train)
+from selfcorr_tpu.models.vit import DinoViTS8
+from selfcorr_tpu.train.optim import make_optimizer, clip_and_guard
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any            # {"net": flax params, "mean_v": (V, 3)}
+    batch_stats: Any
+    opt_state: Any
+    dino_params: Any       # frozen
+
+
+def init_state(cfg: Config, constants: MeshConstants, rng) -> TrainState:
+    k_net, k_dino = jax.random.split(rng)
+    net = Networks(cfg)
+    b = 2
+    dummy_img = jnp.zeros((b, cfg.img_size, cfg.img_size, 3))
+    dummy_meanv = jnp.zeros((b,) + constants.mean_v_init.shape)
+    dummy_pp = jnp.zeros((b, 2))
+    dummy_foc = jnp.ones((b, 2))
+    variables = net.init(k_net, dummy_img, dummy_meanv, dummy_pp, dummy_foc,
+                        True)
+    dino = DinoViTS8()
+    dino_vars = dino.init(k_dino, dummy_img)
+    params = {"net": variables["params"],
+              "mean_v": jnp.asarray(constants.mean_v_init)}
+    tx = make_optimizer(cfg, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(params),
+        dino_params=dino_vars["params"],
+    )
+
+
+def train_step(state: TrainState, batch, rng, constants: MeshConstants,
+               cfg: Config, tx: optax.GradientTransformation):
+    """Pure step function; jit with donate_argnums=0 via make_train_step."""
+    def loss_fn(params):
+        return forward_train(params, state.batch_stats, state.dino_params,
+                             batch, constants, rng, cfg, state.step)
+
+    (loss, (aux, new_bs)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+
+    grads, norms, bad = clip_and_guard(grads)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    new_state = TrainState(step=state.step + 1, params=new_params,
+                           batch_stats=new_bs, opt_state=new_opt,
+                           dino_params=state.dino_params)
+    metrics = {**aux, **norms, "bad_grad": bad.astype(jnp.float32)}
+    return new_state, metrics
+
+
+def make_train_step(cfg: Config, constants: MeshConstants,
+                    tx: optax.GradientTransformation, donate: bool = True):
+    fn = functools.partial(train_step, constants=constants, cfg=cfg, tx=tx)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,123 @@
+"""End-to-end smoke tests: model init, one jitted train step on synthetic
+data, eval forward — all on CPU with the dense rasterizer backend."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from selfcorr_tpu.configs import Config
+from selfcorr_tpu.models.meshnet import (build_mesh_constants, forward_test)
+from selfcorr_tpu.train.optim import make_optimizer
+from selfcorr_tpu.train.step import init_state, make_train_step
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        img_size=32, corr_h=8, corr_w=8, subdivide=1, batch_size=2, repeat=2,
+        total_iters=10, symmetry_idx=0, symmetry_npts=128, use_depth=True,
+        divide_fn="both", pretrain_k=8, use_pallas=False, n_corr_feat=16,
+        codedim=8, depth_offset=5.0,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def synthetic_batch(cfg, b=None, seed=0):
+    b = b or cfg.batch_size * cfg.repeat
+    rng = np.random.RandomState(seed)
+    s = cfg.img_size
+    img = rng.rand(b, s, s, 3).astype(np.float32)
+    # a centered square mask
+    mask = np.zeros((b, s, s), np.float32)
+    mask[:, s // 4: 3 * s // 4, s // 4: 3 * s // 4] = 1.0
+    depth = (mask * (5.0 + rng.rand(b, s, s)) ).astype(np.float32)
+    return {
+        "img": jnp.asarray(img),
+        "mask": jnp.asarray(mask),
+        "depth": jnp.asarray(depth),
+        "occ": jnp.zeros((b, s, s), jnp.float32),
+        "pp_crop": jnp.zeros((b, 2), jnp.float32),
+        "foc_crop": jnp.full((b, 2), 2.0, jnp.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    constants = build_mesh_constants(cfg)
+    state = init_state(cfg, constants, jax.random.PRNGKey(0))
+    return cfg, constants, state
+
+
+def test_init_shapes(setup):
+    cfg, constants, state = setup
+    assert state.params["mean_v"].shape == (42, 3)
+    assert constants.faces.shape == (80, 3)
+    assert constants.symm_rots.shape == (17, 3, 3)
+    # param groups exist
+    net = state.params["net"]
+    for mod in ("backbone", "featnet", "featnet_mesh", "shape_code_predictor",
+                "shape_predictor", "pose_predictor"):
+        assert mod in net, sorted(net)
+
+
+def test_one_train_step(setup):
+    cfg, constants, state = setup
+    tx = make_optimizer(cfg, state.params)
+    step_fn = make_train_step(cfg, constants, tx, donate=False)
+    batch = synthetic_batch(cfg)
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert float(metrics["bad_grad"]) == 0.0
+    assert float(metrics["total_loss"]) > 0
+    # every expected loss channel present
+    for k in ("mask_loss", "texture_loss", "match_loss", "imatch_loss",
+              "depth_loss", "symmetry_loss", "triangle_loss", "pullfar_loss",
+              "deform_loss", "cycle_loss", "cycle_loss_pretrain"):
+        assert k in metrics, k
+    # parameters changed
+    before = jax.tree_util.tree_leaves(state.params["net"])
+    after = jax.tree_util.tree_leaves(new_state.params["net"])
+    changed = any(not np.allclose(np.asarray(a), np.asarray(b))
+                  for a, b in zip(before, after))
+    assert changed
+    assert int(new_state.step) == 1
+    # frozen pieces
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(new_state.dino_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.dino_params)[0]))
+
+
+def test_mean_v_updates_only_with_prior_deform(setup):
+    cfg, constants, state = setup
+    # sphere prior always trains (mesh.py:116); an OBJ shape prior with
+    # prior_deform=False keeps the mean shape fixed (mesh.py:90) — neither
+    # gradients nor AdamW weight decay may touch it
+    cfg2 = tiny_cfg(prior_deform=False, shape_prior=True)
+    state2 = init_state(cfg2, constants, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg2, state2.params)
+    step_fn = make_train_step(cfg2, constants, tx, donate=False)
+    batch = synthetic_batch(cfg2)
+    new_state, _ = step_fn(state2, batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(new_state.params["mean_v"]),
+                               np.asarray(state2.params["mean_v"]), atol=1e-7)
+
+
+def test_forward_test(setup):
+    cfg, constants, state = setup
+    cfg_t = cfg.replace(train=False)
+    batch = synthetic_batch(cfg_t)
+    out = forward_test(state.params, state.batch_stats, batch, constants,
+                       jax.random.PRNGKey(3), cfg_t)
+    b = cfg.batch_size * cfg.repeat
+    assert out["pred_v"].shape == (b, 42, 3)
+    assert out["match"].shape == (b, 32, 32, 3)
+    assert out["imatch"].shape == (b, 42, 2)
+    assert out["match_conf"].shape == (b, 32, 32)
+    assert out["rotation"].shape == (b, 3, 3)
+    R = np.asarray(out["rotation"])
+    np.testing.assert_allclose(R @ R.transpose(0, 2, 1),
+                               np.eye(3)[None].repeat(b, 0), atol=1e-5)
+    assert np.isfinite(np.asarray(out["match_conf"])).all()
