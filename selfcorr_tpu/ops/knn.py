@@ -53,7 +53,8 @@ def min_sq_dist(x: jnp.ndarray, y: jnp.ndarray, y_valid: jnp.ndarray | None = No
         d2 = jnp.where(vk[:, None, :], d2, jnp.inf)
         return jnp.minimum(carry, jnp.min(d2, axis=-1)), None
 
-    init = jnp.full(x.shape[:2], jnp.inf, jnp.float32)
+    # full_like keeps the device-varying type of x (shard_map vma tracking)
+    init = jnp.full_like(x[..., 0], jnp.inf)
     out, _ = jax.lax.scan(body, init, (yc, vc))
     return jnp.maximum(out, 0.0)
 
@@ -108,7 +109,7 @@ def nearest_idx(x: jnp.ndarray, y: jnp.ndarray, chunk: int = 2048) -> jnp.ndarra
                 jnp.where(upd, idx_local + off, best_i),
                 off + yk.shape[1]), None
 
-    init = (jnp.full(x.shape[:2], jnp.inf, jnp.float32),
-            jnp.zeros(x.shape[:2], jnp.int32), jnp.int32(0))
+    init = (jnp.full_like(x[..., 0], jnp.inf),
+            jnp.zeros_like(x[..., 0], dtype=jnp.int32), jnp.int32(0))
     (d, i, _), _ = jax.lax.scan(body, init, yc)
     return i

@@ -60,8 +60,11 @@ def param_labels(params, train_mean_v: bool = True) -> Any:
 
 
 def onecycle(peak_lr: float, total_steps: int) -> optax.Schedule:
+    # warmup must span at least one step or optax divides by a zero-length
+    # interval (NaN) — only relevant for tiny smoke-test schedules
+    pct_start = max(0.05, 1.001 / max(total_steps, 2))
     return optax.cosine_onecycle_schedule(
-        transition_steps=total_steps, peak_value=peak_lr, pct_start=0.05,
+        transition_steps=total_steps, peak_value=peak_lr, pct_start=pct_start,
         div_factor=25.0, final_div_factor=25.0)
 
 

@@ -81,3 +81,61 @@ def make_train_step(cfg: Config, constants: MeshConstants,
                     tx: optax.GradientTransformation, donate: bool = True):
     fn = functools.partial(train_step, constants=constants, cfg=cfg, tx=tx)
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip: shard_map over a 1-D data mesh
+# ---------------------------------------------------------------------------
+
+def train_step_sharded(state: TrainState, batch, rng,
+                       constants: MeshConstants, cfg: Config,
+                       tx: optax.GradientTransformation):
+    """Per-device forward/backward with pmean'd gradients and metrics.
+
+    Replaces the reference's DDP+NCCL stack (trainer.py:66-78): each device
+    rasterizes and differentiates its local sub-batch (the Pallas kernels run
+    per shard), then gradients are all-reduced over the `data` axis — the
+    collective XLA emits rides ICI. Parameters and optimizer state stay
+    replicated. The per-device RNG is folded with the axis index so each
+    shard draws its own augmentation, like per-process torch RNG.
+    """
+    axis = "data"
+    local_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+    def loss_fn(params):
+        return forward_train(params, state.batch_stats, state.dino_params,
+                             batch, constants, local_rng, cfg, state.step)
+
+    (loss, (aux, new_bs)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+
+    grads = jax.lax.pmean(grads, axis)
+    aux = jax.lax.pmean(aux, axis)
+    new_bs = jax.lax.pmean(new_bs, axis)
+
+    grads, norms, bad = clip_and_guard(grads)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    new_state = TrainState(step=state.step + 1, params=new_params,
+                           batch_stats=new_bs, opt_state=new_opt,
+                           dino_params=state.dino_params)
+    metrics = {**aux, **norms, "bad_grad": bad.astype(jnp.float32)}
+    return new_state, metrics
+
+
+def make_sharded_train_step(cfg: Config, constants: MeshConstants,
+                            tx: optax.GradientTransformation, mesh,
+                            donate: bool = True):
+    """shard_map'd step: batch sharded over `data`, state replicated."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    fn = functools.partial(train_step_sharded, constants=constants, cfg=cfg,
+                           tx=tx)
+    sharded = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P("data"), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())

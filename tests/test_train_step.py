@@ -77,12 +77,14 @@ def test_one_train_step(setup):
               "depth_loss", "symmetry_loss", "triangle_loss", "pullfar_loss",
               "deform_loss", "cycle_loss", "cycle_loss_pretrain"):
         assert k in metrics, k
-    # parameters changed
+    # parameters changed and stayed finite
     before = jax.tree_util.tree_leaves(state.params["net"])
     after = jax.tree_util.tree_leaves(new_state.params["net"])
     changed = any(not np.allclose(np.asarray(a), np.asarray(b))
                   for a, b in zip(before, after))
     assert changed
+    for leaf in after + [new_state.params["mean_v"]]:
+        assert np.isfinite(np.asarray(leaf)).all()
     assert int(new_state.step) == 1
     # frozen pieces
     np.testing.assert_allclose(
