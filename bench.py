@@ -1,0 +1,79 @@
+"""Benchmark: full training-step throughput on the flagship Wild6D-laptop
+configuration (642-vert/1280-face mesh prior, 256^2 crops, batch 8 videos x 4
+frames = 32 images), synthetic data, real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no throughput numbers
+(BASELINE.md); the denominator is an estimate of the reference's 2x RTX-3090
+training throughput from its per-iter composition (4 SoftRas renders fwd+bwd
++ 4x-redundant frozen DINO forwards + resnet18 at batch 32; ~1.5 s/iter
+=> ~21 imgs/s). Replace with a measured number when the torch reference can
+be run side-by-side.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMGS_PER_SEC = 21.0
+
+
+def main():
+    from selfcorr_tpu.configs import Config
+    from selfcorr_tpu.models.meshnet import build_mesh_constants
+    from selfcorr_tpu.train.optim import make_optimizer
+    from selfcorr_tpu.train.step import init_state, make_train_step
+
+    on_cpu = jax.default_backend() == "cpu"
+    cfg = Config(img_size=256, corr_h=64, corr_w=64, subdivide=3,
+                 batch_size=8, repeat=4, total_iters=20000, symmetry_idx=1,
+                 use_depth=True, divide_fn="both", pretrain_k=200,
+                 codedim=64, n_corr_feat=64, depth_offset=5.0,
+                 use_pallas=not on_cpu)
+    b = cfg.batch_size * cfg.repeat
+    s = cfg.img_size
+
+    rng = np.random.RandomState(0)
+    mask = np.zeros((b, s, s), np.float32)
+    mask[:, 64:192, 64:192] = 1.0
+    batch = {
+        "img": jnp.asarray(rng.rand(b, s, s, 3).astype(np.float32)),
+        "mask": jnp.asarray(mask),
+        "depth": jnp.asarray((mask * (5.0 + rng.rand(b, s, s))).astype(np.float32)),
+        "occ": jnp.zeros((b, s, s), jnp.float32),
+        "pp_crop": jnp.zeros((b, 2), jnp.float32),
+        "foc_crop": jnp.full((b, 2), 2.0, jnp.float32),
+    }
+
+    constants = build_mesh_constants(cfg)
+    state = init_state(cfg, constants, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg, state.params)
+    step_fn = make_train_step(cfg, constants, tx, donate=True)
+
+    # warmup / compile
+    state, m = step_fn(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(m["total_loss"])
+
+    n_iters = 3 if on_cpu else 10
+    t0 = time.time()
+    for i in range(n_iters):
+        state, m = step_fn(state, batch, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(m["total_loss"])
+    dt = (time.time() - t0) / n_iters
+    imgs_per_sec = b / dt
+
+    print(json.dumps({
+        "metric": "train_imgs_per_sec_per_chip_wild6d_laptop",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

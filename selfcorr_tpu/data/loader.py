@@ -1,0 +1,105 @@
+"""Batch assembly + background prefetch (host-side).
+
+Replaces the reference's torch DataLoader worker processes
+(data/dataloader.py:55-84, num_workers=8) with a thread pool decoding the
+next iterations' frames while the device steps — cv2 releases the GIL during
+decode/resize so threads scale. Batches are stacked numpy dicts in the
+[shard, video, frame] layout the pairing contract requires, with crop
+intrinsics already in NDC units (the reference converts on device every step,
+trainer.py:98-101).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from selfcorr_tpu.configs import Config
+
+_BATCH_KEYS = ("img", "mask", "depth", "occ", "pp_crop", "foc_crop")
+_META_KEYS = ("center", "length", "foc", "pp", "idx", "frame_idx")
+_GT_KEYS = ("rot_gt", "trans_gt", "scale_gt")
+
+
+def stack_items(items):
+    batch = {}
+    for k in _BATCH_KEYS + _META_KEYS + _GT_KEYS:
+        if k in items[0]:
+            batch[k] = np.stack([it[k] for it in items]).astype(
+                items[0][k].dtype if hasattr(items[0][k], "dtype")
+                else np.float32)
+    return batch
+
+
+class TrainLoader:
+    """Iterates `total_iters` batches from a dataset with
+    sample_plan(step) + load_item(vid, fid)."""
+
+    def __init__(self, dataset, cfg: Config, num_workers: int | None = None,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.pool = ThreadPoolExecutor(num_workers or cfg.num_workers)
+        self.prefetch = prefetch
+        self.q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    def _make_batch(self, step: int):
+        plan = self.dataset.sample_plan(step)
+        items = list(self.pool.map(
+            lambda vf: self.dataset.load_item(*vf), plan))
+        return stack_items(items)
+
+    def _producer(self):
+        for step in range(self.cfg.total_iters):
+            if self._stop.is_set():
+                return
+            self.q.put(self._make_batch(step))
+        self.q.put(None)
+
+    def __iter__(self):
+        while True:
+            batch = self.q.get()
+            if batch is None:
+                return
+            yield batch
+
+    def close(self):
+        self._stop.set()
+
+
+class TestLoader:
+    """Sequential fixed-size batches; the tail batch is padded by repeating
+    the last sample (static shapes for jit) with a validity mask."""
+
+    def __init__(self, dataset, cfg: Config, batch_size: int | None = None,
+                 num_workers: int | None = None):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.bsz = batch_size or cfg.batch_size
+        self.pool = ThreadPoolExecutor(num_workers or cfg.num_workers)
+        order = np.arange(len(dataset))
+        if cfg.shuffle_test:
+            np.random.RandomState(cfg.seed).shuffle(order)
+        self.order = order
+
+    def __len__(self):
+        return -(-len(self.dataset) // self.bsz)
+
+    def __iter__(self):
+        n = len(self.dataset)
+        for start in range(0, n, self.bsz):
+            idx = self.order[start: start + self.bsz]
+            valid = np.ones(self.bsz, bool)
+            if len(idx) < self.bsz:
+                valid[len(idx):] = False
+                idx = np.concatenate(
+                    [idx, np.full(self.bsz - len(idx), idx[-1])])
+            items = list(self.pool.map(self.dataset.load_item, idx))
+            batch = stack_items(items)
+            batch["valid"] = valid
+            yield batch

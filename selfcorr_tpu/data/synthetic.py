@@ -1,0 +1,121 @@
+"""Synthetic video dataset: procedurally rendered textured ellipsoids.
+
+No real-data equivalent exists in the reference repo; this dataset backs the
+integration tests, the benchmark and end-to-end training demos in
+environments without Wild6D/NOCS/CUB on disk. Each 'video' is one ellipsoid
+instance (random per-axis radii + a fixed procedural texture) observed under
+a smoothly varying rotation; frames provide RGB, mask, metric depth and
+intrinsics exactly like Wild6DTrain.load_item.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from selfcorr_tpu.configs import Config
+from selfcorr_tpu.data.crops import crop_frame
+
+
+def _rot_y(t):
+    c, s = np.cos(t), np.sin(t)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
+def _rot_x(t):
+    c, s = np.cos(t), np.sin(t)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+
+
+class SyntheticVideos:
+    def __init__(self, num_videos: int = 4, frames_per_video: int = 24,
+                 raw_size: int = 320, seed: int = 0):
+        self.n_videos = num_videos
+        self.n_frames = frames_per_video
+        self.raw = raw_size
+        rng = np.random.RandomState(seed)
+        self.radii = rng.uniform(0.5, 1.0, size=(num_videos, 3))
+        self.phase = rng.uniform(0, 2 * np.pi, size=(num_videos,))
+        self.tilt = rng.uniform(-0.4, 0.4, size=(num_videos,))
+        self.z0 = rng.uniform(4.0, 6.0, size=(num_videos,))
+
+    def num_frames(self, vid: int) -> int:
+        return self.n_frames
+
+    def render_frame(self, vid: int, fid: int):
+        """Ray-traced ellipsoid: returns img [0,1], mask, depth, foc, pp."""
+        s = self.raw
+        r = self.radii[vid]
+        theta = self.phase[vid] + 2 * np.pi * fid / self.n_frames
+        R = _rot_x(self.tilt[vid]) @ _rot_y(theta)
+        z0 = self.z0[vid]
+        f_pix = s * 1.2
+        foc = np.array([f_pix, f_pix], np.float32)
+        pp = np.array([s / 2, s / 2], np.float32)
+
+        ys, xs = np.meshgrid(np.arange(s) + 0.5, np.arange(s) + 0.5,
+                             indexing="ij")
+        # camera rays
+        dx = (xs - pp[0]) / foc[0]
+        dy = (ys - pp[1]) / foc[1]
+        d = np.stack([dx, dy, np.ones_like(dx)], -1)  # (s,s,3)
+
+        # ellipsoid: |A (R^T (p - c))| = 1 with A = diag(1/r)
+        M = np.diag(1.0 / r) @ R.T
+        c = np.array([0.0, 0.0, z0])
+        dm = d @ M.T
+        om = (-c) @ M.T
+        a = np.sum(dm * dm, -1)
+        b = 2 * np.sum(dm * om, -1)
+        cc = np.sum(om * om) - 1.0
+        disc = b * b - 4 * a * cc
+        hit = disc > 0
+        t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a), 0.0)
+        depth = np.where(hit, t * 1.0, 0.0).astype(np.float32)  # z of d=1 rays
+
+        # surface point in object frame -> procedural texture
+        p = d * t[..., None] - c
+        obj = p @ R  # R^T p as row vectors
+        u = obj / r
+        tex_r = 0.5 + 0.5 * np.sin(6 * u[..., 0] + 2 * u[..., 2])
+        tex_g = 0.5 + 0.5 * np.sin(5 * u[..., 1] - 3 * u[..., 0])
+        tex_b = 0.5 + 0.5 * np.cos(4 * u[..., 2] + u[..., 1])
+        shade = 0.4 + 0.6 * np.clip(-u[..., 2], 0, 1)
+        img = np.stack([tex_r, tex_g, tex_b], -1) * shade[..., None]
+        img = np.where(hit[..., None], img, 0.05).astype(np.float32)
+        return img, hit, depth, foc, pp
+
+
+class SyntheticTrain:
+    """Drop-in analogue of Wild6DTrain over procedural videos."""
+
+    def __init__(self, cfg: Config, num_shards: int = 1, seed: int = 0,
+                 num_videos: int = 4, frames_per_video: int = 24):
+        self.cfg = cfg
+        self.num_shards = num_shards
+        self.videos = SyntheticVideos(num_videos, frames_per_video,
+                                      seed=seed)
+        self.rng = np.random.RandomState(seed + 1)
+
+    def sample_plan(self, step: int):
+        cfg = self.cfg
+        plan = []
+        for _ in range(self.num_shards):
+            vids = self.rng.randint(0, self.videos.n_videos,
+                                    size=cfg.batch_size)
+            for vid in vids:
+                n = self.videos.num_frames(int(vid))
+                gap = max(n // cfg.repeat, 1)
+                for i in range(cfg.repeat):
+                    fid = min(gap * i + self.rng.randint(0, gap), n - 1)
+                    plan.append((int(vid), int(fid)))
+        return plan
+
+    def load_item(self, vid: int, fid: int):
+        cfg = self.cfg
+        img, mask, depth, foc, pp = self.videos.render_frame(vid, fid)
+        scale = self.rng.uniform(1.2, 1.5, size=(2,))
+        out = crop_frame(img, mask, depth if cfg.use_depth else None,
+                         foc, pp, cfg.img_size, scale)
+        out["idx"] = np.int32(vid)
+        out["frame_idx"] = np.int32(fid)
+        out["occ"] = np.zeros_like(out["mask"])
+        return out

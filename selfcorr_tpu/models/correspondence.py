@@ -161,30 +161,29 @@ def dino_pair_match(src_feat, tgt_feat, src_mask, tgt_mask, grid, k: int):
     return pts_src, pts_tgt, idx_src, idx, match_mask
 
 
-def dino_cycle_loss(img_pairs, mask_pairs, dw_pairs, pc_pairs, dino_fn,
+def dino_cycle_loss(feat_pairs, mask_pairs, dw_pairs, pc_pairs,
                     meshgrid, tau_img: float, tau_mesh: float,
                     hf: int, wf: int, k: int):
     """Transport DINO pixel matches through the model's pointcorr
     (pretrained_corr.py:107-140).
 
-    img_pairs = (img_src, img_tgt) etc. already divided by the pairing fn.
-    dino_fn: (B,H,W,3) -> (B, Q, C) frozen features. pc_pairs: model
-    pointcorr (B, P, N) per side. Returns (loss, vis dict).
+    feat_pairs = (src_feat, tgt_feat): frozen DINO features (B, Q, C) already
+    divided by the pairing fn — the features are computed ONCE per image and
+    permuted, where the reference re-runs the frozen ViT on every src/tgt
+    copy (4x the forwards under divide_fn='both', pretrained_corr.py:57-75).
+    pc_pairs: model pointcorr (B, P, N) per side. Returns (loss, vis dict).
     """
-    img_src, img_tgt = img_pairs
+    src_feat, tgt_feat = feat_pairs
     mask_src, mask_tgt = mask_pairs
     dw_src, dw_tgt = dw_pairs
     pc_src, pc_tgt = pc_pairs
-    b = img_src.shape[0]
+    b = src_feat.shape[0]
     n = pc_src.shape[-1]
     h2, w2 = hf // 2, wf // 2
 
     grid_map = meshgrid.reshape(hf, wf, 2)[None]
     grid_half = resize_bilinear(grid_map, (h2, w2))
     grid_half = jnp.broadcast_to(grid_half, (b, h2, w2, 2)).reshape(b, -1, 2)
-
-    feat = dino_fn(jnp.concatenate([img_src, img_tgt], 0))
-    src_feat, tgt_feat = feat[:b], feat[b:]
 
     pts_src, pts_tgt, idx_src, idx_tgt, mmask = dino_pair_match(
         src_feat, tgt_feat, mask_src, mask_tgt, grid_half, k)

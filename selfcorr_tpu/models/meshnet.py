@@ -270,16 +270,14 @@ def forward_train(params, batch_stats, dino_params, batch, constants:
     rep = cfg.repeat
     bs = b // rep
     dino = DinoViTS8()
-
-    def dino_fn(x):
-        f = dino.apply({"params": dino_params}, x)
-        f = jax.lax.stop_gradient(f)
-        return f.reshape(f.shape[0], -1, f.shape[-1])
+    dino_feat = dino.apply({"params": dino_params}, img)
+    dino_feat = jax.lax.stop_gradient(
+        dino_feat.reshape(b, -1, dino_feat.shape[-1]))
 
     cyc_pt, _ = corr.dino_cycle_loss(
-        divide(img, bs, rep), divide(mask, bs, rep),
+        divide(dino_feat, bs, rep), divide(mask, bs, rep),
         divide(r["depth_weight"], bs, rep), divide(pointcorr, bs, rep),
-        dino_fn, meshgrid, cfg.tau_img, cfg.tau_mesh,
+        meshgrid, cfg.tau_img, cfg.tau_mesh,
         cfg.corr_h, cfg.corr_w, cfg.pretrain_k)
     cyc_pt = w["cycle_pt"] * cyc_pt
 

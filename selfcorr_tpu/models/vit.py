@@ -41,16 +41,12 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, name="qkv")(x)
         qkv = qkv.reshape(b, t, 3, self.num_heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b,t,h,d)
-        q = q.transpose(0, 2, 1, 3)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        y = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        y = y.transpose(0, 2, 1, 3).reshape(b, t, c)
+        # fused attention (flash-style on TPU): never materializes (b,h,t,t)
+        y = jax.nn.dot_product_attention(q, k, v)
+        y = y.reshape(b, t, c)
         y = nn.Dense(self.dim, name="proj")(y)
         if return_kqv:
-            return y, k  # k: (b, h, t, d)
+            return y, k.transpose(0, 2, 1, 3)  # k: (b, h, t, d)
         return y
 
 
