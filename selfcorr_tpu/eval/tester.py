@@ -1,0 +1,164 @@
+"""Evaluation driver: jitted eval forward + batched pose fit + host metrics.
+
+Counterpart of the reference Tester (model/tester.py:126-321): per batch the
+model forward and the whole-batch RANSAC pose fit run on device; the exact 3D
+IoU / deg-cm metrics run on the host. Prints the same summary channels
+(iou@25/50, {5,10}deg x {2,5}cm for NOCS-style eval; mIoU + PCK for CUB).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from selfcorr_tpu.configs import Config
+from selfcorr_tpu.data.loader import TestLoader
+from selfcorr_tpu.eval.metrics import NocsAccumulator, mask_iou, map_kp
+from selfcorr_tpu.eval.pose_fit import fit_poses
+from selfcorr_tpu.models.meshnet import build_mesh_constants, forward_test
+from selfcorr_tpu.train.step import init_state
+from selfcorr_tpu.utils import checkpoint as ckpt
+from selfcorr_tpu.utils.logging import write_config_snapshot
+
+
+def make_test_dataset(cfg: Config):
+    if cfg.dataset_name == "Wild6D":
+        from selfcorr_tpu.data.wild6d import Wild6DTest
+        return Wild6DTest(cfg)
+    if cfg.dataset_name == "synthetic":
+        from selfcorr_tpu.data.synthetic import SyntheticTrain
+        # synthetic eval reuses the train sampler as a fixed-seed stream
+        return None
+    if cfg.dataset_name == "nocs":
+        from selfcorr_tpu.data.nocs import NOCSTest
+        return NOCSTest(cfg)
+    if cfg.dataset_name == "cub":
+        from selfcorr_tpu.data.cub import CUBTest
+        return CUBTest(cfg)
+    raise ValueError(cfg.dataset_name)
+
+
+class Tester:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.run_dir = os.path.join(cfg.checkpoint_dir, cfg.name)
+        os.makedirs(self.run_dir, exist_ok=True)
+        write_config_snapshot(self.run_dir, cfg, "config-test.txt")
+        self.constants = build_mesh_constants(cfg)
+
+        self.state = init_state(cfg, self.constants, jax.random.PRNGKey(cfg.seed))
+        if cfg.model_path:
+            if cfg.model_path.endswith(".pth"):
+                from selfcorr_tpu.utils.weight_convert import load_reference_ckpt
+                self.state = load_reference_ckpt(cfg.model_path, self.state)
+            else:
+                self.state = ckpt.restore_state(cfg.model_path, self.state)
+
+        constants = self.constants
+
+        @jax.jit
+        def _forward(params, batch_stats, batch, rng):
+            return forward_test(params, batch_stats, batch, constants, rng, cfg)
+
+        self._forward = _forward
+        self._fit = functools.partial(
+            fit_poses, max_points=cfg.pose_fit_max_points,
+            n_iters=cfg.ransac_iters)
+
+    def predict_batch(self, batch, rng):
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if k in ("img", "mask", "depth", "occ", "pp_crop", "foc_crop")}
+        pred = self._forward(self.state.params, self.state.batch_stats, jb, rng)
+        fit = self._fit(rng, pred["match"], pred["match_conf"], jb["depth"],
+                        jb["mask"], jb["pp_crop"], jb["foc_crop"],
+                        pred["pred_v"], jnp.asarray(self.constants.base_rot))
+        return pred, fit
+
+    def test(self):
+        cfg = self.cfg
+        dataset = make_test_dataset(cfg)
+        loader = TestLoader(dataset, cfg)
+        rng = jax.random.PRNGKey(cfg.seed + 123)
+
+        acc = NocsAccumulator(cfg.symmetry_idx) if cfg.eval_nocs else None
+        cub_iou, cub_pck = [], []
+
+        for bi, batch in enumerate(loader):
+            rng, step_rng = jax.random.split(rng)
+            pred, fit = self.predict_batch(batch, step_rng)
+            valid = batch["valid"]
+
+            if cfg.eval_nocs and "rot_gt" in batch:
+                bbox9 = np.asarray(fit["bbox9"])
+                for i in range(len(valid)):
+                    if not valid[i]:
+                        continue
+                    acc.add(bbox9[i], batch["rot_gt"][i],
+                            batch["trans_gt"][i], batch["scale_gt"][i])
+            if cfg.eval_cub and "kp" in batch:
+                self._eval_cub(batch, pred, fit, cub_iou, cub_pck)
+            if (bi + 1) % 10 == 0:
+                print(f"tested batch {bi + 1}/{len(loader)}")
+
+        results = {}
+        if acc is not None:
+            results = acc.summary()
+            print("iou@25:", results["iou@25"])
+            print("iou@50:", results["iou@50"])
+            print("5deg*2cm:", results["5deg2cm"])
+            print("5deg*5cm:", results["5deg5cm"])
+            print("10deg*2cm:", results["10deg2cm"])
+            print("10deg*5cm:", results["10deg5cm"])
+        if cfg.eval_cub and cub_iou:
+            results["mIoU"] = float(np.mean(cub_iou))
+            pck = np.asarray(cub_pck, np.float64)
+            results["kp@0.1"] = float(pck[:, 0].mean())
+            results["kp@0.2"] = float(pck[:, 1].mean())
+            print("mIoU:", results["mIoU"])
+            print("kp@0.1:", results["kp@0.1"])
+            print("kp@0.2:", results["kp@0.2"])
+        return results
+
+    def _eval_cub(self, batch, pred, fit, cub_iou, cub_pck):
+        """Mask IoU of the fitted render + keypoint transfer PCK
+        (tester.py:224-292)."""
+        cfg = self.cfg
+        from selfcorr_tpu.ops.rasterizer import render_fused
+        from selfcorr_tpu.ops import geometry as G
+        from selfcorr_tpu.ops.rasterizer.common import EYE_OFFSET
+
+        pred_v = fit["verts"]
+        faces = pred["faces"]
+        cam = pred_v  # already posed by the fit
+        proj = G.project_ndc(cam, jnp.asarray(batch["pp_crop"]),
+                             jnp.asarray(batch["foc_crop"]), flip_y=True)
+        rast = proj.at[..., 2].add(EYE_OFFSET)
+        fv = rast[:, np.asarray(faces)]
+        ones = jnp.ones_like(fv)
+        out = render_fused(fv, ones, ones, cfg.img_size,
+                           backend="dense" if jax.default_backend() == "cpu"
+                           else "pallas")
+        mask_render = np.asarray(out["alpha1"]) > 0.5
+        ious = mask_iou(np.asarray(batch["mask"]), mask_render)
+        valid = batch["valid"]
+        cub_iou.extend([float(v) for v, ok in zip(ious, valid) if ok])
+
+        if "kp" in batch:
+            b = len(valid)
+            half = b // 2
+            kps = np.asarray(batch["kp"], np.float32)
+            match = np.asarray(pred["match"])
+            mask = np.asarray(batch["mask"])
+            vis = (kps[..., 2] > 0).astype(np.float32)
+            transfer, err, _, kp_mask = map_kp(
+                vis[:half], vis[half: 2 * half], kps[:half],
+                kps[half: 2 * half], match[:half], match[half: 2 * half],
+                mask[:half], mask[half: 2 * half])
+            padding, base_padding = 0.2, 0.0
+            kp_scale = (1 + 2 * padding) / (1 + 2 * base_padding) / 2
+            sel = err[kp_mask > 0]
+            for e in sel:
+                cub_pck.append([e * kp_scale < 0.1, e * kp_scale < 0.2])

@@ -1,0 +1,116 @@
+"""Training driver: data, jitted step, logging, orbax checkpoints, resume.
+
+Counterpart of the reference Trainer (model/trainer.py:41-206) with TPU-first
+mechanics: the device never waits on the host — batches are prefetched by a
+thread pool, metrics are fetched one step late (no forced sync), and
+checkpoints include optimizer state for true resume (the reference cannot
+resume mid-run, trainer.py:200-206).
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from selfcorr_tpu.configs import Config
+from selfcorr_tpu.data.loader import TrainLoader
+from selfcorr_tpu.models.meshnet import build_mesh_constants
+from selfcorr_tpu.parallel import make_mesh, replicate, shard_batch
+from selfcorr_tpu.train.optim import make_optimizer
+from selfcorr_tpu.train.step import (init_state, make_sharded_train_step,
+                                     make_train_step)
+from selfcorr_tpu.utils import checkpoint as ckpt
+from selfcorr_tpu.utils.logging import (log_metrics, make_writer,
+                                        write_config_snapshot)
+
+
+def make_train_dataset(cfg: Config, num_shards: int):
+    if cfg.dataset_name == "Wild6D":
+        from selfcorr_tpu.data.wild6d import Wild6DTrain
+        return Wild6DTrain(cfg, num_shards=num_shards, seed=cfg.seed)
+    if cfg.dataset_name == "synthetic":
+        from selfcorr_tpu.data.synthetic import SyntheticTrain
+        return SyntheticTrain(cfg, num_shards=num_shards, seed=cfg.seed)
+    if cfg.dataset_name == "nocs":
+        from selfcorr_tpu.data.nocs import NOCSTrain
+        return NOCSTrain(cfg, num_shards=num_shards, seed=cfg.seed)
+    if cfg.dataset_name == "cub":
+        from selfcorr_tpu.data.cub import CUBTrain
+        return CUBTrain(cfg, num_shards=num_shards, seed=cfg.seed)
+    raise ValueError(cfg.dataset_name)
+
+
+class Trainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.run_dir = os.path.join(cfg.checkpoint_dir, cfg.name)
+        os.makedirs(self.run_dir, exist_ok=True)
+        write_config_snapshot(self.run_dir, cfg)
+        self.writer = make_writer(self.run_dir)
+
+        self.constants = build_mesh_constants(cfg)
+        self.n_dev = min(cfg.num_devices, len(jax.devices()))
+        self.mesh = make_mesh(self.n_dev) if self.n_dev > 1 else None
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.state = init_state(cfg, self.constants, key)
+        self.tx = make_optimizer(cfg, self.state.params)
+
+        start = ckpt.latest_step(os.path.join(self.run_dir, "ckpt"))
+        if start is not None:
+            print(f"resuming from checkpoint step {start}")
+            self.state = ckpt.restore_state(os.path.join(self.run_dir, "ckpt"),
+                                            self.state)
+        self.start_step = int(self.state.step)
+
+        if self.mesh is not None:
+            local_cfg = cfg  # batch pairing uses runtime shapes
+            self.step_fn = make_sharded_train_step(local_cfg, self.constants,
+                                                   self.tx, self.mesh)
+            self.state = replicate(self.mesh, self.state)
+        else:
+            self.step_fn = make_train_step(cfg, self.constants, self.tx)
+
+    def train(self):
+        cfg = self.cfg
+        dataset = make_train_dataset(cfg, self.n_dev)
+        loader = TrainLoader(dataset, cfg)
+        key = jax.random.PRNGKey(cfg.seed + 1)
+
+        pending = None  # (step_idx, metrics) fetched one step late
+        t0 = time.time()
+        for i, batch in enumerate(loader):
+            step_idx = self.start_step + i
+            if step_idx >= cfg.total_iters:
+                break
+            if self.mesh is not None:
+                batch = shard_batch(self.mesh, batch)
+            step_key = jax.random.fold_in(key, step_idx)
+            self.state, metrics = self.step_fn(self.state, batch, step_key)
+
+            if pending is not None:
+                pi, pm = pending
+                log_metrics(self.writer, pm, pi)
+            pending = (step_idx, metrics)
+
+            if (step_idx + 1) % cfg.batch_log_interval == 0:
+                jax.block_until_ready(metrics["total_loss"])
+                dt = (time.time() - t0) / cfg.batch_log_interval
+                print(f"iter {step_idx + 1}/{cfg.total_iters} "
+                      f"loss {float(metrics['total_loss']):.4f} "
+                      f"{dt * 1000:.0f} ms/iter "
+                      f"({batch['img'].shape[0] / dt:.1f} imgs/s)")
+                t0 = time.time()
+
+            if (step_idx + 1) % cfg.save_freq == 0:
+                self.save(step_idx + 1)
+        if pending is not None:
+            log_metrics(self.writer, pending[1], pending[0])
+        loader.close()
+        self.save(int(np.asarray(self.state.step)))
+
+    def save(self, step: int):
+        ckpt.save_state(os.path.join(self.run_dir, "ckpt"), self.state, step)
+        print(f"saved checkpoint at step {step}")

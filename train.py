@@ -1,0 +1,29 @@
+#!/usr/bin/env python
+"""Training entry point (reference train.py:28-46 counterpart).
+
+Accepts the reference's flag set incl. --flagfile config files:
+  python train.py --flagfile config/wild6d/laptop.txt --name exp1 \
+      --dataset_path /path/to/Wild6D/laptop --total_iters 20000
+
+Distributed init (NCCL process groups in the reference) is replaced by
+jax.sharding over all visible TPU chips: set --num_devices N (defaults to 1).
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def main(argv):
+    from selfcorr_tpu.configs import parse_args
+    cfg = parse_args(argv[1:])
+    cfg = cfg.replace(train=True)
+    np.random.seed(cfg.seed)
+
+    from selfcorr_tpu.train.loop import Trainer
+    Trainer(cfg).train()
+
+
+if __name__ == "__main__":
+    main(sys.argv)
