@@ -20,7 +20,7 @@ from selfcorr_tpu.configs import Config
 
 _BATCH_KEYS = ("img", "mask", "depth", "occ", "pp_crop", "foc_crop")
 _META_KEYS = ("center", "length", "foc", "pp", "idx", "frame_idx")
-_GT_KEYS = ("rot_gt", "trans_gt", "scale_gt")
+_GT_KEYS = ("rot_gt", "trans_gt", "scale_gt", "kp", "sfm_pose")
 
 
 def stack_items(items):

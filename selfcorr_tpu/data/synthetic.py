@@ -84,6 +84,40 @@ class SyntheticVideos:
         return img, hit, depth, foc, pp
 
 
+class SyntheticTest:
+    """Eval analogue with ground-truth poses (column-acting R, metric units):
+    the ellipsoid's canonical frame is its radii box, so rot_gt = R,
+    trans_gt = center, scale_gt = 2 * radii."""
+
+    def __init__(self, cfg: Config, num_videos: int = 2,
+                 frames_per_video: int = 6, seed: int = 0):
+        self.cfg = cfg
+        self.videos = SyntheticVideos(num_videos, frames_per_video, seed=seed)
+        self.samples = [(v, f) for v in range(num_videos)
+                        for f in range(0, frames_per_video,
+                                       max(cfg.dframe_eval, 1))]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def load_item(self, index: int):
+        cfg = self.cfg
+        vid, fid = self.samples[index]
+        img, mask, depth, foc, pp = self.videos.render_frame(vid, fid)
+        out = crop_frame(img, mask, depth if cfg.use_depth else None,
+                         foc, pp, cfg.img_size, np.array([1.35, 1.35]))
+        out["idx"] = np.int32(vid)
+        out["frame_idx"] = np.int32(fid)
+        out["occ"] = np.zeros_like(out["mask"])
+        if cfg.eval:
+            theta = self.videos.phase[vid] + 2 * np.pi * fid / self.videos.n_frames
+            R = _rot_x(self.videos.tilt[vid]) @ _rot_y(theta)
+            out["rot_gt"] = R.astype(np.float32)
+            out["trans_gt"] = np.array([0, 0, self.videos.z0[vid]], np.float32)
+            out["scale_gt"] = (2 * self.videos.radii[vid]).astype(np.float32)
+        return out
+
+
 class SyntheticTrain:
     """Drop-in analogue of Wild6DTrain over procedural videos."""
 

@@ -29,9 +29,8 @@ def make_test_dataset(cfg: Config):
         from selfcorr_tpu.data.wild6d import Wild6DTest
         return Wild6DTest(cfg)
     if cfg.dataset_name == "synthetic":
-        from selfcorr_tpu.data.synthetic import SyntheticTrain
-        # synthetic eval reuses the train sampler as a fixed-seed stream
-        return None
+        from selfcorr_tpu.data.synthetic import SyntheticTest
+        return SyntheticTest(cfg)
     if cfg.dataset_name == "nocs":
         from selfcorr_tpu.data.nocs import NOCSTest
         return NOCSTest(cfg)
@@ -42,6 +41,7 @@ def make_test_dataset(cfg: Config):
 
 
 class Tester:
+    __test__ = False  # not a pytest class
     def __init__(self, cfg: Config):
         self.cfg = cfg
         self.run_dir = os.path.join(cfg.checkpoint_dir, cfg.name)
