@@ -102,6 +102,7 @@ class Config:
     eval_cub: bool = False
     shuffle_test: bool = False
     vis_path: str = ""
+    vis_pred: bool = False
 
     # TPU-specific (no reference analogue)
     num_devices: int = 1                  # data-parallel mesh size

@@ -100,6 +100,18 @@ class Tester:
                             batch["trans_gt"][i], batch["scale_gt"][i])
             if cfg.eval_cub and "kp" in batch:
                 self._eval_cub(batch, pred, fit, cub_iou, cub_pck)
+            if cfg.vis_pred:
+                from selfcorr_tpu.utils.vis import save_visualizations
+                out_dir = cfg.vis_path or os.path.join(self.run_dir, "vis")
+                pred_np = {k: np.asarray(v) if v is not None else None
+                           for k, v in pred.items()}
+                fit_np = {k: np.asarray(v) for k, v in fit.items()}
+                for i in range(len(valid)):
+                    if valid[i]:
+                        tag = (f"{int(batch['idx'][i]):03d}_"
+                               f"{int(batch['frame_idx'][i]):03d}")
+                        save_visualizations(out_dir, tag, batch, pred_np,
+                                            fit_np, i, cfg)
             if (bi + 1) % 10 == 0:
                 print(f"tested batch {bi + 1}/{len(loader)}")
 

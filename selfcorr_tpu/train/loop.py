@@ -104,6 +104,9 @@ class Trainer:
                       f"({batch['img'].shape[0] / dt:.1f} imgs/s)")
                 t0 = time.time()
 
+            if (step_idx + 1) % cfg.vis_freq == 0:
+                self._log_images(batch, step_idx + 1)
+
             if (step_idx + 1) % cfg.save_freq == 0:
                 self.save(step_idx + 1)
         if pending is not None:
@@ -114,3 +117,55 @@ class Trainer:
     def save(self, step: int):
         ckpt.save_state(os.path.join(self.run_dir, "ckpt"), self.state, step)
         print(f"saved checkpoint at step {step}")
+
+    def _log_images(self, batch, step: int):
+        """TensorBoard image panels (trainer.py:175-198 counterpart):
+        input, mask, depth, canonical-coordinate match, rendered mask/tex/
+        depth, imatch overlay — computed with an eval forward + one fused
+        render on the first sample."""
+        try:
+            import jax.numpy as jnp
+            from selfcorr_tpu.models.meshnet import (forward_test,
+                                                     render_products)
+            from selfcorr_tpu.utils import vis as V
+
+            cfg = self.cfg
+            sub = {k: jnp.asarray(np.asarray(batch[k])[:1]) for k in
+                   ("img", "mask", "depth", "occ", "pp_crop", "foc_crop")}
+            params = jax.tree_util.tree_map(np.asarray, self.state.params)
+            params = {"net": params["net"],
+                      "mean_v": jnp.asarray(params["mean_v"])}
+            bs = jax.tree_util.tree_map(np.asarray, self.state.batch_stats)
+            pred = forward_test(params, bs, sub, self.constants,
+                                jax.random.PRNGKey(step), cfg)
+            r = render_products(
+                pred["pred_v"], jnp.asarray(self.constants.faces),
+                pred["tex"], sub["foc_crop"], sub["pp_crop"],
+                pred["rotation"], pred["translation"], cfg,
+                use_pallas=jax.default_backend() != "cpu")
+
+            def addim(tag, img_hwc):
+                self.writer.add_image(tag, np.asarray(img_hwc), step,
+                                      dataformats="HWC")
+
+            img0 = np.asarray(sub["img"][0])
+            mask0 = np.asarray(sub["mask"][0])
+            addim("vis/img", V.to_u8(img0))
+            addim("vis/mask", V.draw_mask(mask0)[:, :, ::-1])
+            addim("vis/match", V.draw_match(
+                img0, np.asarray(pred["match"][0]), mask0)[:, :, ::-1])
+            addim("vis/imatch", V.draw_imatch(
+                img0, np.asarray(pred["imatch"][0]),
+                np.asarray(pred["pred_v"][0]))[:, :, ::-1])
+            addim("vis/mask_render", V.draw_mask(
+                np.asarray(r["mask_render"][0]))[:, :, ::-1])
+            addim("vis/texture_render", V.to_u8(
+                np.asarray(r["tex_render"][0])))
+            addim("vis/depth_render", V.draw_depth(
+                np.asarray(r["depth_render"][0]),
+                np.asarray(r["depth_mask"][0]))[:, :, ::-1])
+            if cfg.use_depth:
+                addim("vis/depth_gt", V.draw_depth(
+                    np.asarray(sub["depth"][0]), mask0)[:, :, ::-1])
+        except Exception as e:  # vis must never kill training
+            print(f"[vis] image logging failed: {e}")
