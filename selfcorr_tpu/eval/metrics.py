@@ -22,16 +22,23 @@ def _axis_angle_matrix(axis: np.ndarray, angle: float) -> np.ndarray:
 def best_iou(symmetry_idx: int, box_pred: Box3D, rot_gt, trans_gt, scale_gt,
              division: int = 18) -> float:
     """Exact IoU; y-symmetric categories take the best over `division`
-    rotations of the GT about its own y axis (eval_utils.py:134-178)."""
+    rotations of the GT about its own y axis (eval_utils.py:134-178).
+    Uses the native C++ clipper (eval/box3d_native.py) when available."""
+    from selfcorr_tpu.eval import box3d_native as native
+
     if symmetry_idx == 0:
         y_axis = rot_gt[:, 1].copy()
-        best = 0.0
-        for i in range(division):
-            R = _axis_angle_matrix(y_axis, i * 2 * np.pi / division)
-            box_gt = Box3D.from_transformation(R @ rot_gt, trans_gt, scale_gt)
-            best = max(best, box_iou(box_pred, box_gt))
-        return best
+        cands = np.stack([
+            Box3D.from_transformation(
+                _axis_angle_matrix(y_axis, i * 2 * np.pi / division) @ rot_gt,
+                trans_gt, scale_gt).vertices
+            for i in range(division)])
+        if native.available():
+            return native.iou_max(box_pred.vertices, cands)
+        return max(box_iou(box_pred, Box3D(c)) for c in cands)
     box_gt = Box3D.from_transformation(rot_gt, trans_gt, scale_gt)
+    if native.available():
+        return native.iou(box_pred.vertices, box_gt.vertices)
     return box_iou(box_pred, box_gt)
 
 
