@@ -47,23 +47,26 @@ from selfcorr_tpu.ops.rasterizer import common as C
 # Constant packing (differentiable jnp; slot layout shared fwd/bwd)
 # ---------------------------------------------------------------------------
 
-K = 128          # lanes per face in the packed constant array
+K = 64           # lanes per face in the packed constant array
 FF = 16          # faces per streamed chunk
 TR, TC = 8, 128  # pixel tile: 8 rows x 128 cols
 
-# slot offsets
+# slot offsets. Line distances need no separate coefficients: the unclamped
+# segment parameter is the perpendicular foot, so
+#   d_line^2 = |p-v0|^2 - s^2 e2      (inside pixels)
+#   d_seg^2  = |p-v0|^2 - t(2s-t) e2  (outside pixels, t = clamp(s, 0, 1))
+# share the same per-edge affine terms.
 S_WA = 0      # 9: barycentric affine coeffs (3 bary x [ax, ay, ac])
-S_LINE = 9    # 9: per-edge line coeffs
-S_SEG = 18    # 9: per-edge segment-parameter coeffs
-S_E2 = 27     # 3: squared edge lengths
-S_PC = 30     # 9: per-edge |p-v0|^2 coeffs
-S_IZ = 39     # 3: 1/z per corner
-S_Z = 42      # 3: z per corner
-S_FRONT = 45  # 1
-S_BBOX = 46   # 4: xmin, xmax, ymin, ymax
-S_STEX = 50   # 9: soft texture (3 corners x rgb)
-S_HTEX = 59   # 9: hard texture
-N_SLOTS = 68
+S_SEG = 9     # 9: per-edge segment-parameter affine coeffs
+S_E2 = 18     # 3: squared edge lengths
+S_PC = 21     # 9: per-edge |p-v0|^2 affine coeffs
+S_IZ = 30     # 3: 1/z per corner
+S_Z = 33      # 3: z per corner
+S_FRONT = 36  # 1
+S_BBOX = 37   # 4: xmin, xmax, ymin, ymax
+S_STEX = 41   # 9: soft texture (3 corners x rgb)
+S_HTEX = 50   # 9: hard texture
+N_SLOTS = 59
 
 _BIG = 1e9
 
@@ -89,7 +92,6 @@ def pack_constants(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
     c = C.pack_face_constants(face_verts)
     cols = [
         c.w_a.reshape(b, f, 9),
-        c.line.reshape(b, f, 9),
         c.seg.reshape(b, f, 9),
         c.e2,
         c.pc.reshape(b, f, 9),
@@ -148,16 +150,14 @@ def _chunk_geometry(cv, xs, ys, p2, sigma1, sigma2, near, far):
     dseg2 = None
     seg_cache = []
     for e in range(3):
-        lv = _affine(cv, S_LINE + 3 * e, xs, ys)
-        l2 = lv * lv
-        dline2 = l2 if dline2 is None else jnp.minimum(dline2, l2)
-
         s = _affine(cv, S_SEG + 3 * e, xs, ys)
         t = jnp.clip(s, 0.0, 1.0)
         pv0 = p2 + _affine(cv, S_PC + 3 * e, xs, ys)
         e2 = _cols(cv, S_E2 + e)
-        d2 = jnp.maximum(pv0 - 2.0 * t * s * e2 + t * t * e2, 0.0)
-        seg_cache.append((lv, s, t, e2, d2))
+        l2 = jnp.maximum(pv0 - s * s * e2, 0.0)          # line distance^2
+        d2 = jnp.maximum(pv0 - t * (2.0 * s - t) * e2, 0.0)  # segment dist^2
+        dline2 = l2 if dline2 is None else jnp.minimum(dline2, l2)
+        seg_cache.append((l2, s, t, e2, d2))
         dseg2 = d2 if dseg2 is None else jnp.minimum(dseg2, d2)
 
     dis2 = jnp.where(inside, dline2, dseg2)
@@ -261,9 +261,16 @@ def _fwd_kernel(consts_ref, *out_refs, image_size, n_chunks,
         any_overlap = jnp.any(overlap)
 
         def compute(carry):
+            g = _chunk_geometry(cv, xs, ys, p2, sigma1, sigma2, near, far)
+            # second-level cull: the bbox test is conservative (the tile is
+            # 128 px wide); skip aggregation when no face actually reaches
+            # its coverage support in this tile
+            return jax.lax.cond(jnp.any(g["contrib2"]),
+                                lambda c: aggregate(g, c), lambda c: c, carry)
+
+        def aggregate(g, carry):
             (p1, p2_prod, m_d, s_d, acc_d, m_t, s_t, acc_tr, acc_tg, acc_tb,
              zmin, hr, hg, hb) = carry
-            g = _chunk_geometry(cv, xs, ys, p2, sigma1, sigma2, near, far)
             d1, d2 = g["D1"], g["D2"]
             c0, c1, c2 = g["wc"]
 
@@ -398,6 +405,10 @@ def _bwd_kernel(consts_ref, a1_ref, a2_ref, depth_ref, texr_ref, texg_ref,
 
         def compute(_):
             g = _chunk_geometry(cv, xs, ys, p2, sigma1, sigma2, near, far)
+            return jax.lax.cond(jnp.any(g["contrib2"]),
+                                lambda _: backprop(g), lambda _: 0, 0)
+
+        def backprop(g):
             d1, d2 = g["D1"], g["D2"]
             c0, c1, c2 = g["wc"]
             zp, zn = g["zp"], g["zn"]
@@ -448,51 +459,37 @@ def _bwd_kernel(consts_ref, a1_ref, a2_ref, depth_ref, texr_ref, texg_ref,
             dL_diz1 = -dL_dzp * zp2 * c1
             dL_diz2 = -dL_dzp * zp2 * c2
 
-            # --- dis2 -> line / seg coefficient grads
+            # --- dis2 -> per-edge coefficient grads (unified line/segment:
+            # d_line^2 = P - s^2 e2, d_seg^2 = P - t(2s-t) e2, so both cases
+            # share dd2/ds = -2 t_used e2 with t_used = s (inside) / t)
             inside = g["inside"]
             seg_cache = g["seg_cache"]
             dline2 = g["dline2"]
             dseg2 = g["dseg2"]
-            f_in = dL_ddis2 * inside
-            f_out = dL_ddis2 * (~inside)
 
             contribs = []  # list of (slot, (FF,TR,tc) value) to accumulate
-
-            # line grads: chosen edge = argmin of l^2 (first on ties)
-            chosen_line = None
+            chosen = None
             for e in range(3):
-                lv = seg_cache[e][0]
-                is_min = (lv * lv) == dline2
-                if chosen_line is None:
+                l2_e, s_e, t_e, e2_e, d2_e = seg_cache[e]
+                is_min = jnp.where(inside, l2_e == dline2, d2_e == dseg2)
+                if chosen is None:
                     sel = is_min
-                    chosen_line = is_min
+                    chosen = is_min
                 else:
-                    sel = is_min & (~chosen_line)
-                    chosen_line = chosen_line | is_min
-                dl = f_in * sel * 2.0 * lv
-                contribs.append((S_LINE + 3 * e + 0, dl * xs))
-                contribs.append((S_LINE + 3 * e + 1, dl * ys))
-                contribs.append((S_LINE + 3 * e + 2, dl))
-
-            chosen_seg = None
-            for e in range(3):
-                lv, s_e, t_e, e2_e, d2_e = seg_cache[e]
-                is_min = d2_e == dseg2
-                if chosen_seg is None:
-                    sel = is_min
-                    chosen_seg = is_min
-                else:
-                    sel = is_min & (~chosen_seg)
-                    chosen_seg = chosen_seg | is_min
-                fo = f_out * sel
-                ds_raw = fo * (-2.0 * t_e * e2_e)       # d d2/d s_raw
+                    sel = is_min & (~chosen)
+                    chosen = chosen | is_min
+                f_e = dL_ddis2 * sel
+                t_used = jnp.where(inside, s_e, t_e)
+                ds_raw = f_e * (-2.0 * t_used * e2_e)
                 contribs.append((S_SEG + 3 * e + 0, ds_raw * xs))
                 contribs.append((S_SEG + 3 * e + 1, ds_raw * ys))
                 contribs.append((S_SEG + 3 * e + 2, ds_raw))
-                contribs.append((S_E2 + e, fo * (t_e * t_e - 2.0 * t_e * s_e)))
-                contribs.append((S_PC + 3 * e + 0, fo * xs))
-                contribs.append((S_PC + 3 * e + 1, fo * ys))
-                contribs.append((S_PC + 3 * e + 2, fo))
+                de2 = jnp.where(inside, -s_e * s_e,
+                                t_e * t_e - 2.0 * t_e * s_e)
+                contribs.append((S_E2 + e, f_e * de2))
+                contribs.append((S_PC + 3 * e + 0, f_e * xs))
+                contribs.append((S_PC + 3 * e + 1, f_e * ys))
+                contribs.append((S_PC + 3 * e + 2, f_e))
 
             contribs.append((S_IZ + 0, dL_diz0))
             contribs.append((S_IZ + 1, dL_diz1))
