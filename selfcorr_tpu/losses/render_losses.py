@@ -45,6 +45,37 @@ def texture_loss(img: jnp.ndarray, mask: jnp.ndarray, tex_pred: jnp.ndarray,
     return per_pix.mean(axis=(1, 2))
 
 
+def depth_loss_chamfer(key, pred_v, faces, depth_gt, depth_pred, depth_mask,
+                       mask, pp, foc, rotation, translation,
+                       n_pts: int = 2000):
+    """Chamfer variant of the depth loss (loss_utils.py:286-304): the
+    scale-matched depth map is back-projected, moved to the object frame, and
+    each point pays its squared distance to the nearest of `n_pts` surface
+    samples of the predicted mesh. Returns ((B,), diff map)."""
+    import jax
+    from selfcorr_tpu.ops.geometry import depth_to_point_cloud
+    from selfcorr_tpu.ops.knn import min_sq_dist
+    from selfcorr_tpu.ops.mesh_ops import sample_surface
+
+    b, h, w = depth_gt.shape
+    dm = (depth_mask != 0).astype(depth_pred.dtype)
+    gm = ((mask * depth_gt) != 0).astype(depth_pred.dtype)
+    pred_mean = (depth_pred * dm).sum() / jnp.maximum(dm.sum(), 1.0)
+    gt_mean = (depth_gt * gm).sum() / jnp.maximum(gm.sum(), 1.0)
+    scale = jax.lax.stop_gradient(pred_mean / jnp.maximum(gt_mean, 1e-12))
+    depth_s = depth_gt * scale
+    diff = depth_pred - depth_s
+    diff = jnp.where(((mask * dm) != 0) & (depth_s != 0), diff, 0.0)
+
+    pc = depth_to_point_cloud(depth_s, pp, foc)          # (B, H*W, 3)
+    pc = jnp.einsum("bnc,bdc->bnd", pc - translation, rotation)  # (pc-t) R^T
+    pc = jax.lax.stop_gradient(pc)
+    samples = sample_surface(key, pred_v, faces, n_pts)  # (B, n_pts, 3)
+    d2 = min_sq_dist(pc, samples).reshape(b, h, w)
+    d2 = jnp.where((mask != 0) & (depth_gt != 0), d2, 0.0)
+    return d2.mean(axis=(1, 2)), diff
+
+
 def depth_loss(depth_gt: jnp.ndarray, depth_pred: jnp.ndarray,
                depth_mask: jnp.ndarray, mask: jnp.ndarray,
                thresh: float = 1.0):

@@ -240,8 +240,16 @@ def forward_train(params, batch_stats, dino_params, batch, constants:
                imatch_loss=imatch_l)
 
     if cfg.use_depth:
-        depth_l_sub, depth_diff = depth_loss(batch["depth"], r["depth_render"],
-                                             r["depth_mask"], mask)
+        if cfg.depth_loss_chamfer:
+            from selfcorr_tpu.losses.render_losses import depth_loss_chamfer
+            k_dc = jax.random.fold_in(rng, 777)
+            depth_l_sub, depth_diff = depth_loss_chamfer(
+                k_dc, pred_v, faces, batch["depth"], r["depth_render"],
+                r["depth_mask"], mask, batch["pp_crop"], batch["foc_crop"],
+                rotation, translation)
+        else:
+            depth_l_sub, depth_diff = depth_loss(
+                batch["depth"], r["depth_render"], r["depth_mask"], mask)
         depth_l = w["depth"] * depth_l_sub.mean()
         total = total + depth_l
         aux["depth_loss"] = depth_l

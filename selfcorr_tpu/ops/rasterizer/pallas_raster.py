@@ -471,7 +471,9 @@ def _bwd_kernel(consts_ref, a1_ref, a2_ref, depth_ref, texr_ref, texg_ref,
             chosen = None
             for e in range(3):
                 l2_e, s_e, t_e, e2_e, d2_e = seg_cache[e]
-                is_min = jnp.where(inside, l2_e == dline2, d2_e == dseg2)
+                # logical blend, not where(): Mosaic lacks i1 select lowering
+                is_min = ((inside & (l2_e == dline2))
+                          | ((~inside) & (d2_e == dseg2)))
                 if chosen is None:
                     sel = is_min
                     chosen = is_min
