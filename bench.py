@@ -24,6 +24,8 @@ BASELINE_IMGS_PER_SEC = 21.0
 
 
 def main():
+    from selfcorr_tpu.utils.jit_cache import enable as _enable_cache
+    _enable_cache()
     from selfcorr_tpu.configs import Config
     from selfcorr_tpu.models.meshnet import build_mesh_constants
     from selfcorr_tpu.train.optim import make_optimizer

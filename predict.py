@@ -16,6 +16,8 @@ import numpy as np
 
 
 def main(argv):
+    from selfcorr_tpu.utils.jit_cache import enable as _enable_cache
+    _enable_cache()
     from selfcorr_tpu.configs import parse_args
     cfg = parse_args(argv[1:])
     cfg = cfg.replace(train=False)
