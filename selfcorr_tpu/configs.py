@@ -106,6 +106,8 @@ class Config:
 
     # TPU-specific (no reference analogue)
     num_devices: int = 1                  # data-parallel mesh size
+    profile_steps: int = 0                # capture a jax.profiler trace for
+                                          # steps [10, 10+profile_steps)
     symmetry_npts: int = 10000            # surface samples in symmetry loss
     ransac_iters: int = 100
     pose_fit_max_points: int = 16384      # padded point budget for pose fit

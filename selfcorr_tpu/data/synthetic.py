@@ -41,6 +41,17 @@ class SyntheticVideos:
         return self.n_frames
 
     def render_frame(self, vid: int, fid: int):
+        """Cached: frames are deterministic per (vid, fid) and the ray trace
+        costs ~50 ms — without caching the loader throttles the TPU."""
+        key = (vid, fid)
+        cache = getattr(self, "_cache", None)
+        if cache is None:
+            cache = self._cache = {}
+        if key not in cache:
+            cache[key] = self._render_frame_impl(vid, fid)
+        return cache[key]
+
+    def _render_frame_impl(self, vid: int, fid: int):
         """Ray-traced ellipsoid: returns img [0,1], mask, depth, foc, pp."""
         s = self.raw
         r = self.radii[vid]

@@ -81,14 +81,30 @@ def pad_faces(x: jnp.ndarray, f_pad: int, value: float = 0.0) -> jnp.ndarray:
 
 
 def pack_constants(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
-                   hard_tex: jnp.ndarray) -> jnp.ndarray:
-    """(B,F,3,3) verts + textures -> (B, F_padded, 128) f32, differentiable.
+                   hard_tex: jnp.ndarray, sort_faces: bool = True) -> jnp.ndarray:
+    """(B,F,3,3) verts + textures -> (B, F_padded, K) f32, differentiable.
+
+    Faces are sorted by bbox y-centre per batch element so each streamed
+    16-face chunk is y-coherent and the kernel's chunk-level bbox cull
+    becomes near-perfect (a random face order gives every chunk the full
+    mesh's y-extent). All aggregations are face-order invariant, and the
+    gather's autodiff transpose unsorts the gradients automatically.
 
     Padded faces are inert: |p-v0|^2 offset 1e9 kills coverage; bbox far away
     enables chunk skipping; z=1 avoids inf.
     """
     b, f = face_verts.shape[:2]
     f_pad = -(-f // FF) * FF
+    if sort_faces:
+        ycen = (jnp.min(face_verts[..., 1], axis=-1)
+                + jnp.max(face_verts[..., 1], axis=-1))
+        order = jnp.argsort(jax.lax.stop_gradient(ycen), axis=-1)  # (B, F)
+        face_verts = jnp.take_along_axis(face_verts, order[..., None, None],
+                                         axis=1)
+        soft_tex = jnp.take_along_axis(soft_tex, order[..., None, None],
+                                       axis=1)
+        hard_tex = jnp.take_along_axis(hard_tex, order[..., None, None],
+                                       axis=1)
     c = C.pack_face_constants(face_verts)
     cols = [
         c.w_a.reshape(b, f, 9),

@@ -104,6 +104,13 @@ class Trainer:
                       f"({batch['img'].shape[0] / dt:.1f} imgs/s)")
                 t0 = time.time()
 
+            if cfg.profile_steps > 0 and step_idx == 10:
+                jax.profiler.start_trace(os.path.join(self.run_dir, "trace"))
+            if cfg.profile_steps > 0 and step_idx == 10 + cfg.profile_steps:
+                jax.block_until_ready(metrics["total_loss"])
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {self.run_dir}/trace")
+
             if (step_idx + 1) % cfg.vis_freq == 0:
                 self._log_images(batch, step_idx + 1)
 
