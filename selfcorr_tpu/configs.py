@@ -113,6 +113,10 @@ class Config:
     pose_fit_max_points: int = 16384      # padded point budget for pose fit
     use_pallas: bool = True
     half_res_cycle: bool = True
+    dino_bf16: bool = False  # bfloat16 frozen-DINO trunk: measured slightly
+                             # slower than f32 on v5e (cast overhead beats
+                             # the MXU gain at ViT-S size); flag kept for
+                             # larger trunks / other chips
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

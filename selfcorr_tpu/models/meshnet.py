@@ -278,7 +278,13 @@ def forward_train(params, batch_stats, dino_params, batch, constants:
     rep = cfg.repeat
     bs = b // rep
     dino = DinoViTS8()
-    dino_feat = dino.apply({"params": dino_params}, img)
+    if cfg.dino_bf16:
+        dp = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16),
+                                    dino_params)
+        dino_feat = dino.apply({"params": dp}, img.astype(jnp.bfloat16))
+        dino_feat = dino_feat.astype(jnp.float32)
+    else:
+        dino_feat = dino.apply({"params": dino_params}, img)
     dino_feat = jax.lax.stop_gradient(
         dino_feat.reshape(b, -1, dino_feat.shape[-1]))
 

@@ -187,6 +187,8 @@ def sample_surface(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray,
     areas = face_areas(verts, faces)  # (B, F)
     logits = jnp.log(jnp.maximum(areas, 1e-20))
     kf, kb = jax.random.split(key)
+    # gumbel-argmax categorical: materializes (B, S, F) but beats a vmapped
+    # binary search on TPU by ~1.6x (measured on v5e)
     fidx = jax.random.categorical(kf, logits[:, None, :], axis=-1,
                                   shape=(b, num_samples))  # (B, S)
     u = jax.random.uniform(kb, (b, num_samples, 2))
