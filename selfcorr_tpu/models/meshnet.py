@@ -220,6 +220,12 @@ def forward_train(params, batch_stats, dino_params, batch, constants:
         cfg.tau_img, cfg.tau_mesh, cfg.corr_h, cfg.corr_w)
 
     # vertex colors sampled at matched pixels (mesh.py:46-51)
+    if cfg.surface_texture:
+        raise NotImplementedError(
+            "surface_texture=True (off in all shipped reference configs) is "
+            "supported by the dense rasterizer backend only — see "
+            "models/surface_texture.py; the fused Pallas path requires "
+            "vertex textures.")
     tex = grid_sample(img, imatch)  # (B, N, 3)
 
     r = render_products(pred_v, faces, tex, batch["foc_crop"],

@@ -36,6 +36,7 @@ def rasterize_dense(
     far: float = C.FAR,
     bg_eps: float = C.BG_EPS,
     double_side: bool = True,
+    texture_type: str = "vertex",  # 'vertex' (B,F,3,3) | 'surface' (B,F,R^2,3)
 ) -> jnp.ndarray:
     """Returns (B, S, S, 4) RGBA, top row = y near +1 (image convention)."""
     B, F = face_verts.shape[:2]
@@ -62,7 +63,15 @@ def rasterize_dense(
     facing = (consts.front[:, None] > 0) | double_side
     rgb_ok = contributes & z_ok & facing
 
-    color = jnp.einsum("bpfk,bfkc->bpfc", w_clip, face_tex)  # (B,P,F,3)
+    if texture_type == "vertex":
+        color = jnp.einsum("bpfk,bfkc->bpfc", w_clip, face_tex)  # (B,P,F,3)
+    else:  # per-face R^2 texel grids (kernel.cu:178-195 sampling)
+        from selfcorr_tpu.models.surface_texture import sample_surface_texture
+        res = int(round(face_tex.shape[2] ** 0.5))
+        tex_b = jnp.broadcast_to(face_tex[:, None],
+                                 (B, w_clip.shape[1]) + face_tex.shape[1:])
+        color = sample_surface_texture(tex_b, w_clip[..., 0], w_clip[..., 1],
+                                       w_clip[..., 2], res)
     bg = jnp.asarray(bg_color, face_verts.dtype)
 
     if rgb_mode == "softmax":
