@@ -125,14 +125,44 @@ def pack_constants(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
         filler = filler.at[..., S_PC + 2].set(_BIG)   # pv0 offset (edge 0)
         filler = filler.at[..., S_PC + 5].set(_BIG)
         filler = filler.at[..., S_PC + 8].set(_BIG)
+        # zero-extent bbox far away: culled by overlap tests AND contributes
+        # no height to the row-range margin
         filler = filler.at[..., S_BBOX + 0].set(_BIG)
-        filler = filler.at[..., S_BBOX + 1].set(_BIG + 1)
+        filler = filler.at[..., S_BBOX + 1].set(_BIG)
         filler = filler.at[..., S_BBOX + 2].set(_BIG)
-        filler = filler.at[..., S_BBOX + 3].set(_BIG + 1)
+        filler = filler.at[..., S_BBOX + 3].set(_BIG)
         filler = filler.at[..., S_IZ:S_IZ + 3].set(1.0)
         filler = filler.at[..., S_Z:S_Z + 3].set(1.0)
         packed = jnp.concatenate([packed, filler], axis=1)
     return packed
+
+
+def compute_row_ranges(consts: jnp.ndarray, image_size: int,
+                       pad: float) -> jnp.ndarray:
+    """Per (batch, 8-row strip) contiguous face index range [start, end).
+
+    Faces are sorted by bbox y-centre (pack_constants), so all faces whose
+    padded bbox can overlap a strip lie within [first ycen >= strip_lo -
+    pad - hh, last ycen <= strip_hi + pad + hh] where hh is the max face
+    half-height. Returns (B, S//TR, 2) int32, conservative (never drops a
+    contributing face).
+    """
+    s = image_size
+    ymin = consts[..., S_BBOX + 2]
+    ymax = consts[..., S_BBOX + 3]
+    ycen = (ymin + ymax) * 0.5  # (B, F) ascending
+    hh = jnp.max((ymax - ymin) * 0.5, axis=-1, keepdims=True)  # (B, 1)
+
+    n_rows = s // TR
+    k = jnp.arange(n_rows, dtype=jnp.float32)
+    y_hi = (s - 1.0 - 2.0 * (k * TR)) / s          # top row of strip
+    y_lo = (s - 1.0 - 2.0 * (k * TR + TR - 1)) / s  # bottom row
+
+    lo = y_lo[None] - pad - hh   # (B, n_rows)
+    hi = y_hi[None] + pad + hh
+    start = jax.vmap(lambda c, v: jnp.searchsorted(c, v))(ycen, lo)
+    end = jax.vmap(lambda c, v: jnp.searchsorted(c, v, side="right"))(ycen, hi)
+    return jnp.stack([start, end], -1).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -245,7 +275,7 @@ def _tile_pixel_coords(image_size):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(consts_ref, *out_refs, image_size, n_chunks,
+def _fwd_kernel(ranges_ref, consts_ref, *out_refs, image_size, n_chunks,
                 sigma1, sigma2, gamma_d, gamma_t, near, far, bg_eps, z_offset):
     (a1_ref, a2_ref, depth_ref, texr_ref, texg_ref, texb_ref,
      matr_ref, matg_ref, matb_ref, md_ref, sd_ref, mt_ref, st_ref) = out_refs
@@ -350,8 +380,13 @@ def _fwd_kernel(consts_ref, *out_refs, image_size, n_chunks,
             jnp.full(shp, bg_eps), ones, ones,      # depth softmax (white bg)
             jnp.full(shp, bg_eps), ones, ones, ones, ones,  # tex softmax
             jnp.full(shp, jnp.inf), zeros, zeros, zeros)     # hard winner
+    # loop only over this row strip's face range (faces are y-sorted)
+    bi = pl.program_id(0)
+    pr = pl.program_id(1)
+    c_start = ranges_ref[bi, pr, 0] // FF
+    c_end = (ranges_ref[bi, pr, 1] + FF - 1) // FF
     (p1, p2_prod, m_d, s_d, acc_d, m_t, s_t, acc_tr, acc_tg, acc_tb,
-     zmin, hr, hg, hb) = jax.lax.fori_loop(0, n_chunks, body, init)
+     zmin, hr, hg, hb) = jax.lax.fori_loop(c_start, c_end, body, init)
 
     a1_ref[0] = (1.0 - p1)[0]
     a2_ref[0] = (1.0 - p2_prod)[0]
@@ -372,8 +407,8 @@ def _fwd_kernel(consts_ref, *out_refs, image_size, n_chunks,
 # Backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(consts_ref, a1_ref, a2_ref, depth_ref, texr_ref, texg_ref,
-                texb_ref, md_ref, sd_ref, mt_ref, st_ref,
+def _bwd_kernel(ranges_ref, consts_ref, a1_ref, a2_ref, depth_ref, texr_ref,
+                texg_ref, texb_ref, md_ref, sd_ref, mt_ref, st_ref,
                 ga1_ref, ga2_ref, gd_ref, gtr_ref, gtg_ref, gtb_ref,
                 grad_ref, *, image_size, n_chunks,
                 sigma1, sigma2, gamma_d, gamma_t, near, far, bg_eps, z_offset):
@@ -537,7 +572,11 @@ def _bwd_kernel(consts_ref, a1_ref, a2_ref, depth_ref, texr_ref, texg_ref,
 
         return jax.lax.cond(any_overlap, compute, lambda _: 0, 0)
 
-    jax.lax.fori_loop(0, n_chunks, body, 0)
+    bi = pl.program_id(0)
+    pr = pl.program_id(1)
+    c_start = ranges_ref[bi, pr, 0] // FF
+    c_end = (ranges_ref[bi, pr, 1] + FF - 1) // FF
+    jax.lax.fori_loop(c_start, c_end, body, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -548,9 +587,10 @@ def _grid_and_specs(b, f_pad, image_size):
     s = image_size
     tc = min(TC, s)
     grid = (b, s // TR, s // tc)
-    consts_spec = pl.BlockSpec((1, f_pad, K), lambda bi, pr, pc: (bi, 0, 0),
+    consts_spec = pl.BlockSpec((1, f_pad, K),
+                               lambda bi, pr, pc, *_: (bi, 0, 0),
                                memory_space=pltpu.VMEM)
-    pix_spec = pl.BlockSpec((1, TR, tc), lambda bi, pr, pc: (bi, pr, pc),
+    pix_spec = pl.BlockSpec((1, TR, tc), lambda bi, pr, pc, *_: (bi, pr, pc),
                             memory_space=pltpu.VMEM)
     return grid, consts_spec, pix_spec, tc
 
@@ -563,19 +603,24 @@ def _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
     b, f_pad, _ = consts.shape
     grid, consts_spec, pix_spec, tc = _grid_and_specs(b, f_pad, image_size)
     s = image_size
+    ranges = compute_row_ranges(consts, s, math.sqrt(sigma2 * C.DIST_CUT))
     n_out = 13
     kernel = functools.partial(
         _fwd_kernel, image_size=s, n_chunks=f_pad // FF,
         sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d, gamma_t=gamma_t,
         near=near, far=far, bg_eps=bg_eps, z_offset=z_offset)
-    outs = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[consts_spec],
         out_specs=[pix_spec] * n_out,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((b, s, s), jnp.float32)] * n_out,
         interpret=interpret,
-    )(consts)
+    )(ranges, consts)
     names = ["alpha1", "alpha2", "depth", "texr", "texg", "texb",
              "matr", "matg", "matb", "m_d", "s_d", "m_t", "s_t"]
     return dict(zip(names, outs))
@@ -588,22 +633,29 @@ def _bwd_call(consts, fwd_out, grads, image_size, sigma1, sigma2,
               gamma_d, gamma_t, near, far, bg_eps, z_offset, interpret=False):
     b, f_pad, _ = consts.shape
     grid, consts_spec, pix_spec, tc = _grid_and_specs(b, f_pad, image_size)
+    ranges = compute_row_ranges(consts, image_size,
+                                math.sqrt(sigma2 * C.DIST_CUT))
     kernel = functools.partial(
         _bwd_kernel, image_size=image_size, n_chunks=f_pad // FF,
         sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d, gamma_t=gamma_t,
         near=near, far=far, bg_eps=bg_eps, z_offset=z_offset)
-    grad_spec = pl.BlockSpec((1, f_pad, K), lambda bi, pr, pc: (bi, 0, 0),
+    grad_spec = pl.BlockSpec((1, f_pad, K),
+                             lambda bi, pr, pc, *_: (bi, 0, 0),
                              memory_space=pltpu.VMEM)
     residual_names = ["alpha1", "alpha2", "depth", "texr", "texg", "texb",
                       "m_d", "s_d", "m_t", "s_t"]
     grad_names = ["alpha1", "alpha2", "depth", "texr", "texg", "texb"]
-    inputs = [consts] + [fwd_out[n] for n in residual_names] + \
+    inputs = [ranges, consts] + [fwd_out[n] for n in residual_names] + \
         [grads[n] for n in grad_names]
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[consts_spec] + [pix_spec] * 16,
         out_specs=grad_spec,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, f_pad, K), jnp.float32),
         interpret=interpret,
     )(*inputs)
