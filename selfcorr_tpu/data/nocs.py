@@ -184,9 +184,10 @@ class NOCSTest:
         meta = self.tracks[vid]["metas"][fid]
         if self.cfg.eval:
             rot = meta["rotation"] @ np.diag([1.0, -1.0, -1.0])
-            size = meta["scale"]
             if self.extents is not None and meta["model"] in self.extents:
                 size = self.extents[meta["model"]] * meta["scale"]
+            else:  # extents pkl unavailable: isotropic fallback
+                size = np.ones(3) * np.asarray(meta["scale"]).reshape(-1)[0]
             out["rot_gt"] = rot.astype(np.float32)
             out["trans_gt"] = np.asarray(
                 meta["translation"], np.float32).reshape(-1)

@@ -1,0 +1,118 @@
+"""Dataset pipelines exercised against synthetic on-disk directory trees
+matching the reference layouts."""
+import json
+import os
+import pickle
+
+import numpy as np
+import cv2
+import pytest
+
+from selfcorr_tpu.configs import Config
+
+
+def make_wild6d_tree(root, n_videos=2, n_frames=4, hw=(64, 80)):
+    h, w = hw
+    rng = np.random.RandomState(0)
+    names = []
+    for obj_i in range(n_videos):
+        obj = f"obj{obj_i}"
+        seq = "seq0"
+        d = os.path.join(root, obj, seq, "images")
+        os.makedirs(d)
+        for f in range(n_frames):
+            img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+            mask = np.zeros((h, w), np.uint8)
+            mask[h // 4: 3 * h // 4, w // 4: 3 * w // 4] = 255
+            depth = (rng.rand(h, w) * 1000).astype(np.uint16)
+            cv2.imwrite(os.path.join(d, f"{f}.jpg"), img)
+            cv2.imwrite(os.path.join(d, f"{f}-mask.png"), mask)
+            cv2.imwrite(os.path.join(d, f"{f}-depth.png"), depth)
+        K = np.array([[100.0, 0, 0], [0, 100.0, 0],
+                      [w / 2, h / 2, 1.0]])  # stored transposed (metadata K.T)
+        meta = dict(K=K.reshape(-1).tolist(), w=w, h=h, fps=30)
+        with open(os.path.join(root, obj, seq, "metadata"), "w") as fh:
+            json.dump(meta, fh)
+        names.append(f"video_{obj_i}_0")
+    list_file = os.path.join(os.path.dirname(root), "train_list.txt")
+    with open(list_file, "w") as fh:
+        fh.write("\n".join(names))
+    return list_file
+
+
+def test_wild6d_train(tmp_path):
+    root = str(tmp_path / "w6d")
+    os.makedirs(root)
+    list_file = make_wild6d_tree(root)
+    cfg = Config(dataset_name="Wild6D", dataset_path=root,
+                 train_list=list_file, img_size=32, batch_size=2, repeat=2,
+                 use_depth=True, total_iters=2, num_workers=2)
+    from selfcorr_tpu.data.wild6d import Wild6DTrain
+    from selfcorr_tpu.data.loader import TrainLoader
+    ds = Wild6DTrain(cfg, num_shards=1, seed=0)
+    assert len(ds.videos) == 2
+    loader = TrainLoader(ds, cfg)
+    batch = next(iter(loader))
+    assert batch["img"].shape == (4, 32, 32, 3)
+    assert batch["depth"].shape == (4, 32, 32)
+    assert np.isfinite(batch["foc_crop"]).all()
+    assert batch["mask"].max() == 1.0
+    # intrinsics in NDC units: |pp| should be within a couple units
+    assert np.abs(batch["pp_crop"]).max() < 5
+    loader.close()
+
+
+def make_nocs_tree(root, n_frames=3, hw=(48, 64)):
+    h, w = hw
+    rng = np.random.RandomState(1)
+    scene = os.path.join(root, "scene_1")
+    os.makedirs(scene)
+    for f in range(n_frames):
+        mask = np.full((h, w), 255, np.uint8)
+        mask[10:30, 20:50] = 7  # instance id 7
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        depth = (rng.rand(h, w) * 1000).astype(np.uint16)
+        base = os.path.join(scene, f"{f:04d}")
+        cv2.imwrite(base + "_mask.png", mask)
+        cv2.imwrite(base + "_color.png", img)
+        cv2.imwrite(base + "_depth.png", depth)
+        with open(base + "_meta.txt", "w") as fh:
+            fh.write("7 5 laptop_norm\n")  # inst 7, class 5 (laptop)
+        label = dict(instance_ids=[7], class_ids=[5],
+                     model_list=["laptop_norm"],
+                     rotations=[np.eye(3)], translations=[np.zeros(3)],
+                     scales=[np.float32(1.0)],
+                     bboxes=[np.array([10, 20, 30, 50])])
+        with open(base + "_label.pkl", "wb") as fh:
+            pickle.dump(label, fh)
+    list_file = os.path.join(os.path.dirname(root), "list.txt")
+    with open(list_file, "w") as fh:
+        fh.write("0")
+    return list_file
+
+
+def test_nocs_train_and_test(tmp_path):
+    root = str(tmp_path / "real")
+    os.makedirs(root)
+    list_file = make_nocs_tree(root)
+    cfg = Config(dataset_name="nocs", category="laptop", dataset_path=root,
+                 train_list=list_file, test_dataset_path=root,
+                 test_list=list_file, img_size=32, batch_size=1, repeat=2,
+                 use_depth=True, use_occ=True, eval=True, dframe_eval=1,
+                 num_workers=2)
+    from selfcorr_tpu.data.nocs import NOCSTrain, NOCSTest
+    tr = NOCSTrain(cfg, num_shards=1, seed=0)
+    assert len(tr.tracks) == 1
+    item = tr.load_item(0, 1)
+    assert item["img"].shape == (32, 32, 3)
+    assert item["occ"].shape == (32, 32)
+    assert item["mask"].max() == 1.0
+
+    te = NOCSTest(cfg)
+    assert len(te) == 3
+    it = te.load_item(0)
+    assert "rot_gt" in it
+    # GT rotation flip: R @ diag(1,-1,-1)
+    np.testing.assert_allclose(it["rot_gt"], np.diag([1.0, -1.0, -1.0]),
+                               atol=1e-6)
+    assert it["scale_gt"].shape == (3,)
