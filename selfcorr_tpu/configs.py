@@ -26,6 +26,8 @@ class Config:
     img_size: int = 256
     use_depth: bool = False
     use_occ: bool = False
+    no_stretch: bool = False              # square crops instead of per-axis
+    dataset_cache_path: str = ""          # CUB annotation cache dir
 
     # schedule / batch
     total_iters: int = 20000

@@ -67,8 +67,12 @@ class _CUBBase:
         self.split = split
         self.rng = np.random.RandomState(seed)
         root = cfg.dataset_path if split == "train" else cfg.test_dataset_path
-        cache = os.path.join(root, "cachedir", "cub") \
-            if os.path.isdir(os.path.join(root, "cachedir")) else root
+        if cfg.dataset_cache_path:
+            cache = cfg.dataset_cache_path
+        elif os.path.isdir(os.path.join(root, "cachedir")):
+            cache = os.path.join(root, "cachedir", "cub")
+        else:
+            cache = root
         self.img_dir = os.path.join(root, "images")
         anno_path = os.path.join(cache, "data", f"{split}_cub_cleaned.mat")
         sfm_path = os.path.join(cache, "sfm", f"anno_{split}.mat")

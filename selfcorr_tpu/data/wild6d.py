@@ -98,7 +98,8 @@ class Wild6DTrain:
         img, mask, depth, foc, pp = self.videos.read_frame(
             vid, fid, cfg.use_depth)
         scale = self.rng.uniform(1.2, 1.5, size=(2,))
-        out = crop_frame(img, mask, depth, foc, pp, cfg.img_size, scale)
+        out = crop_frame(img, mask, depth, foc, pp, cfg.img_size, scale,
+                         no_stretch=cfg.no_stretch)
         out["idx"] = np.int32(vid)
         out["frame_idx"] = np.int32(fid)
         out["occ"] = np.zeros_like(out["mask"])
