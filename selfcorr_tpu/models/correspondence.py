@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from selfcorr_tpu.ops.image_ops import (resize_nearest, resize_bilinear,
-                                        grid_sample, rotate)
+                                        grid_sample, rotate_fast as rotate)
 
 NEG = -1e5
 
