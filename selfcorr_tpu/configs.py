@@ -105,6 +105,18 @@ class Config:
     shuffle_test: bool = False
     vis_path: str = ""
     vis_pred: bool = False
+    # per-panel switches (tester.py:39-49); all panels render when only
+    # vis_pred is set
+    visualize_mesh: bool = False
+    visualize_conf: bool = False
+    visualize_match: bool = False
+    visualize_imatch: bool = False
+    visualize_gt: bool = False
+    visualize_bbox: bool = False
+    visualize_depth: bool = False
+    visualize_tex: bool = False
+    visualize_mask: bool = False
+    match_with_bbox: bool = False
 
     # TPU-specific (no reference analogue)
     num_devices: int = 1                  # data-parallel mesh size
@@ -114,7 +126,6 @@ class Config:
     ransac_iters: int = 100
     pose_fit_max_points: int = 16384      # padded point budget for pose fit
     use_pallas: bool = True
-    half_res_cycle: bool = True
     dino_bf16: bool = False  # bfloat16 frozen-DINO trunk: measured slightly
                              # slower than f32 on v5e (cast overhead beats
                              # the MXU gain at ViT-S size); flag kept for

@@ -71,15 +71,6 @@ N_SLOTS = 59
 _BIG = 1e9
 
 
-def pad_faces(x: jnp.ndarray, f_pad: int, value: float = 0.0) -> jnp.ndarray:
-    pad = f_pad - x.shape[1]
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[1] = (0, pad)
-    return jnp.pad(x, widths, constant_values=value)
-
-
 def pack_constants(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
                    hard_tex: jnp.ndarray, sort_faces: bool = True) -> jnp.ndarray:
     """(B,F,3,3) verts + textures -> (B, F_padded, K) f32, differentiable.

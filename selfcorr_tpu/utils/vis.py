@@ -117,16 +117,28 @@ def save_visualizations(out_dir: str, tag: str, batch, pred, fit, index: int,
     def put(name, im):
         cv2.imwrite(os.path.join(out_dir, f"{tag}_{name}.png"), im)
 
+    # individual --visualize_* flags select panels; plain --vis_pred renders
+    # everything (tester.py:39-49)
+    any_specific = any(getattr(cfg, f, False) for f in (
+        "visualize_bbox", "visualize_match", "visualize_imatch",
+        "visualize_conf", "visualize_depth", "visualize_mask",
+        "visualize_tex", "visualize_mesh", "visualize_gt"))
+
+    def on(flag):
+        return (not any_specific) or getattr(cfg, flag, False)
+
     put("img", _to_bgr(img))
-    if fit is not None:
+    if fit is not None and on("visualize_bbox"):
         bbox9 = np.asarray(fit["bbox9"][i])
         put("bbox", draw_bbox3d(img, bbox9, pp, foc))
-    match = np.asarray(pred["match"][i])
-    put("match", draw_match(img, match, mask))
-    put("imatch", draw_imatch(img, np.asarray(pred["imatch"][i]),
-                              np.asarray(pred["pred_v"][i])))
-    if pred.get("match_conf") is not None:
+    if on("visualize_match"):
+        put("match", draw_match(img, np.asarray(pred["match"][i]), mask))
+    if on("visualize_imatch"):
+        put("imatch", draw_imatch(img, np.asarray(pred["imatch"][i]),
+                                  np.asarray(pred["pred_v"][i])))
+    if pred.get("match_conf") is not None and on("visualize_conf"):
         put("conf", draw_conf(np.asarray(pred["match_conf"][i])))
-    if "depth" in batch:
+    if "depth" in batch and on("visualize_depth"):
         put("depth", draw_depth(np.asarray(batch["depth"][i]), mask))
-    put("mask", draw_mask(mask))
+    if on("visualize_mask"):
+        put("mask", draw_mask(mask))
