@@ -69,6 +69,15 @@ S_HTEX = 50   # 9: hard texture
 N_SLOTS = 59
 
 _BIG = 1e9
+# y-band quantization for the face sort: band-major, x-minor ordering keeps
+# each streamed chunk tight in BOTH axes, so the per-chunk bbox test can cull
+# against the column tile as well as the row strip. 64 bands over [-1, 1].
+N_BANDS = 64
+BAND_H = 2.0 / N_BANDS
+
+
+def _face_bands(ycen: jnp.ndarray) -> jnp.ndarray:
+    return jnp.floor((ycen + 1.0) / BAND_H)
 
 
 def pack_constants(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
@@ -88,8 +97,14 @@ def pack_constants(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
     f_pad = -(-f // FF) * FF
     if sort_faces:
         ycen = (jnp.min(face_verts[..., 1], axis=-1)
-                + jnp.max(face_verts[..., 1], axis=-1))
-        order = jnp.argsort(jax.lax.stop_gradient(ycen), axis=-1)  # (B, F)
+                + jnp.max(face_verts[..., 1], axis=-1)) * 0.5
+        xcen = (jnp.min(face_verts[..., 0], axis=-1)
+                + jnp.max(face_verts[..., 0], axis=-1)) * 0.5
+        # lexicographic (y-band, x) key: bands are integers, the x term stays
+        # within [0, 0.25] so it never crosses a band boundary
+        xn = jnp.clip((xcen + 1.0) * 0.5, 0.0, 1.0)
+        key = _face_bands(ycen) + 0.25 * xn
+        order = jnp.argsort(jax.lax.stop_gradient(key), axis=-1)  # (B, F)
         face_verts = jnp.take_along_axis(face_verts, order[..., None, None],
                                          axis=1)
         soft_tex = jnp.take_along_axis(soft_tex, order[..., None, None],
@@ -141,7 +156,8 @@ def compute_row_ranges(consts: jnp.ndarray, image_size: int,
     s = image_size
     ymin = consts[..., S_BBOX + 2]
     ymax = consts[..., S_BBOX + 3]
-    ycen = (ymin + ymax) * 0.5  # (B, F) ascending
+    ycen = (ymin + ymax) * 0.5  # (B, F)
+    bands = _face_bands(ycen)   # ascending (band-major sort key)
     hh = jnp.max((ymax - ymin) * 0.5, axis=-1, keepdims=True)  # (B, 1)
 
     n_rows = s // TR
@@ -149,10 +165,11 @@ def compute_row_ranges(consts: jnp.ndarray, image_size: int,
     y_hi = (s - 1.0 - 2.0 * (k * TR)) / s          # top row of strip
     y_lo = (s - 1.0 - 2.0 * (k * TR + TR - 1)) / s  # bottom row
 
-    lo = y_lo[None] - pad - hh   # (B, n_rows)
-    hi = y_hi[None] + pad + hh
-    start = jax.vmap(lambda c, v: jnp.searchsorted(c, v))(ycen, lo)
-    end = jax.vmap(lambda c, v: jnp.searchsorted(c, v, side="right"))(ycen, hi)
+    band_lo = _face_bands(y_lo[None] - pad - hh)   # (B, n_rows)
+    band_hi = _face_bands(y_hi[None] + pad + hh)
+    start = jax.vmap(lambda c, v: jnp.searchsorted(c, v))(bands, band_lo)
+    end = jax.vmap(lambda c, v: jnp.searchsorted(c, v, side="right"))(
+        bands, band_hi)
     return jnp.stack([start, end], -1).astype(jnp.int32)
 
 
