@@ -44,7 +44,12 @@ def min_sq_dist(x: jnp.ndarray, y: jnp.ndarray, y_valid: jnp.ndarray | None = No
     yc = y_pad.reshape(y.shape[0], n_chunks, chunk, 3).transpose(1, 0, 2, 3)
     vc = valid.reshape(y.shape[0], n_chunks, chunk).transpose(1, 0, 2)
 
+    @jax.checkpoint
     def body(carry, inp):
+        # rematerialized: without checkpointing, reverse-mode AD stores the
+        # (B, N, chunk) distance block of EVERY scan step (14 GB for the
+        # 17-fold symmetry loss at batch 32, an HBM OOM); recomputing in the
+        # backward pass costs one extra matmul per chunk
         yk, vk = inp  # (B, chunk, 3), (B, chunk)
         y2 = jnp.sum(yk * yk, axis=-1)  # (B, chunk)
         xy = jnp.einsum("bnd,bmd->bnm", x, yk,
