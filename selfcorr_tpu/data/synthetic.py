@@ -80,7 +80,10 @@ class SyntheticVideos:
         disc = b * b - 4 * a * cc
         hit = disc > 0
         t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a), 0.0)
-        depth = np.where(hit, t * 1.0, 0.0).astype(np.float32)  # z of d=1 rays
+        # depth maps are in MILLIMETERS like Wild6D/NOCS (-depth.png); GT
+        # translations/sizes stay metric — the pose fit converts with x0.001
+        # (tester.py:391-393)
+        depth = np.where(hit, t * 1000.0, 0.0).astype(np.float32)
 
         # surface point in object frame -> procedural texture
         p = d * t[..., None] - c
