@@ -54,11 +54,22 @@ class TrainLoader:
             lambda vf: self.dataset.load_item(*vf), plan))
         return stack_items(items)
 
+    def _submit(self, step: int):
+        plan = self.dataset.sample_plan(step)
+        return [self.pool.submit(self.dataset.load_item, *vf) for vf in plan]
+
     def _producer(self):
-        for step in range(self.cfg.total_iters):
+        # keep the NEXT step's decode jobs in flight while the current batch
+        # is stacked and queued, so assembly latency overlaps the device step
+        total = self.cfg.total_iters
+        pending = self._submit(0)
+        for step in range(total):
             if self._stop.is_set():
                 return
-            self.q.put(self._make_batch(step))
+            nxt = self._submit(step + 1) if step + 1 < total else None
+            batch = stack_items([f.result() for f in pending])
+            pending = nxt
+            self.q.put(batch)
         self.q.put(None)
 
     def __iter__(self):
