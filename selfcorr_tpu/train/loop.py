@@ -79,8 +79,10 @@ class Trainer:
         loader = TrainLoader(dataset, cfg)
         key = jax.random.PRNGKey(cfg.seed + 1)
 
-        pending = None  # (step_idx, metrics) fetched one step late
+        import jax.numpy as jnp
+
         t0 = time.time()
+        metrics = None
         for i, batch in enumerate(loader):
             step_idx = self.start_step + i
             if step_idx >= cfg.total_iters:
@@ -90,16 +92,17 @@ class Trainer:
             step_key = jax.random.fold_in(key, step_idx)
             self.state, metrics = self.step_fn(self.state, batch, step_key)
 
-            if pending is not None:
-                pi, pm = pending
-                log_metrics(self.writer, pm, pi)
-            pending = (step_idx, metrics)
-
+            # scalar fetches over the TPU transport are expensive (~tens of
+            # ms each); log every batch_log_interval steps with ONE stacked
+            # transfer instead of per-scalar per-step fetches
             if (step_idx + 1) % cfg.batch_log_interval == 0:
-                jax.block_until_ready(metrics["total_loss"])
+                names = sorted(metrics)
+                packed = np.asarray(jnp.stack([metrics[n] for n in names]))
+                vals = dict(zip(names, packed))
+                log_metrics(self.writer, vals, step_idx)
                 dt = (time.time() - t0) / cfg.batch_log_interval
                 print(f"iter {step_idx + 1}/{cfg.total_iters} "
-                      f"loss {float(metrics['total_loss']):.4f} "
+                      f"loss {vals['total_loss']:.4f} "
                       f"{dt * 1000:.0f} ms/iter "
                       f"({batch['img'].shape[0] / dt:.1f} imgs/s)")
                 t0 = time.time()
@@ -116,8 +119,6 @@ class Trainer:
 
             if (step_idx + 1) % cfg.save_freq == 0:
                 self.save(step_idx + 1)
-        if pending is not None:
-            log_metrics(self.writer, pending[1], pending[0])
         loader.close()
         self.save(int(np.asarray(self.state.step)))
 
