@@ -38,11 +38,14 @@ class TrainLoader:
     sample_plan(step) + load_item(vid, fid)."""
 
     def __init__(self, dataset, cfg: Config, num_workers: int | None = None,
-                 prefetch: int = 2):
+                 prefetch: int = 2, device_put_fn=None):
+        """device_put_fn: optional host->device transfer applied in the
+        producer thread, so the upload overlaps the device step."""
         self.dataset = dataset
         self.cfg = cfg
         self.pool = ThreadPoolExecutor(num_workers or cfg.num_workers)
         self.prefetch = prefetch
+        self.device_put_fn = device_put_fn
         self.q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._producer, daemon=True)
@@ -68,6 +71,8 @@ class TrainLoader:
                 return
             nxt = self._submit(step + 1) if step + 1 < total else None
             batch = stack_items([f.result() for f in pending])
+            if self.device_put_fn is not None:
+                batch = self.device_put_fn(batch)
             pending = nxt
             self.q.put(batch)
         self.q.put(None)

@@ -76,6 +76,10 @@ class Trainer:
     def train(self):
         cfg = self.cfg
         dataset = make_train_dataset(cfg, self.n_dev)
+        # NOTE: uploading from the producer thread (TrainLoader's
+        # device_put_fn) measures SLOWER on the tunneled TPU transport —
+        # cross-thread device_put contends with step dispatch; keep transfers
+        # on the main thread (the jit call moves host batches itself)
         loader = TrainLoader(dataset, cfg)
         key = jax.random.PRNGKey(cfg.seed + 1)
 
