@@ -175,6 +175,28 @@ def face_areas(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
 
 
+def farthest_point_sampling(points: jnp.ndarray, num_samples: int,
+                            first: int = 0) -> jnp.ndarray:
+    """Iterative FPS over (B, N, 3) -> (B, num_samples) int32 indices
+    (reference model/util/mesh_utils.py ships the same utility alongside
+    area-weighted sampling). O(num_samples * N), jittable."""
+    b, n, _ = points.shape
+
+    def body(i, state):
+        idx, dmin = state
+        last = idx[:, i - 1]  # (B,)
+        lastp = jnp.take_along_axis(points, last[:, None, None], axis=1)
+        d = jnp.sum((points - lastp) ** 2, axis=-1)  # (B, N)
+        dmin = jnp.minimum(dmin, d)
+        nxt = jnp.argmax(dmin, axis=-1).astype(jnp.int32)
+        return idx.at[:, i].set(nxt), dmin
+
+    idx0 = jnp.zeros((b, num_samples), jnp.int32).at[:, 0].set(first)
+    dmin0 = jnp.full((b, n), jnp.inf)
+    idx, _ = jax.lax.fori_loop(1, num_samples, body, (idx0, dmin0))
+    return idx
+
+
 def sample_surface(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray,
                    num_samples: int) -> jnp.ndarray:
     """Area-weighted uniform surface sampling, fixed sample count.

@@ -80,3 +80,14 @@ def test_sample_surface_on_sphere():
     assert r.min() > 0.9 and r.max() <= 1.0 + 1e-5
     # roughly uniform: mean position near origin
     np.testing.assert_allclose(np.asarray(pts[0]).mean(0), 0, atol=0.08)
+
+
+def test_farthest_point_sampling():
+    # a cube's corners: FPS from corner 0 must pick the opposite corner next
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+                    [1, 1, 0], [1, 0, 1], [0, 1, 1], [1, 1, 1]], np.float32)
+    idx = np.asarray(M.farthest_point_sampling(jnp.asarray(pts)[None], 4))
+    assert idx.shape == (1, 4)
+    assert idx[0, 0] == 0
+    assert idx[0, 1] == 7  # opposite corner
+    assert len(set(idx[0].tolist())) == 4  # distinct picks
