@@ -141,3 +141,43 @@ def test_empty_scene_background():
     np.testing.assert_allclose(np.asarray(out["depth"]),
                                1.0 - 0.0, atol=1e-5)  # white bg depth channel
     np.testing.assert_allclose(np.asarray(out["match"]), 0.0, atol=1e-6)
+
+
+def test_face_order_invariance():
+    """Sorting faces at packing (band-major/x-minor) must not change any
+    output: all aggregations are order-invariant."""
+    from selfcorr_tpu.ops.rasterizer import pallas_raster as PR
+    from selfcorr_tpu.ops.rasterizer import common as C
+
+    fv, st, ht = make_scene(seed=7, b=1, n_faces=9)
+    outs = {}
+    for sort in (True, False):
+        consts = PR.pack_constants(fv, st, ht, sort_faces=sort)
+        outs[sort] = PR.raster_fused_core(
+            consts, S, 1e-4, 1e-3, 1e-4, 1e-2, C.NEAR, C.FAR, C.BG_EPS,
+            C.EYE_OFFSET, True)
+    for k in outs[True]:
+        np.testing.assert_allclose(np.asarray(outs[True][k]),
+                                   np.asarray(outs[False][k]), atol=2e-3,
+                                   err_msg=k)
+
+
+def test_gradients_match_dense_with_sorting():
+    """Gradient unsorting through the packing gather must be exact."""
+    fv, st, ht = make_scene(seed=8, b=1, n_faces=6, size=0.8)
+
+    def loss_fn(backend):
+        def f(fv_, st_):
+            out = render_fused(fv_, st_, ht, S, backend=backend,
+                               interpret=True)
+            return _loss(out)
+        return f
+
+    g_dense = jax.grad(loss_fn("dense"), argnums=(0, 1))(fv, st)
+    g_pallas = jax.grad(loss_fn("pallas"), argnums=(0, 1))(fv, st)
+    for gd, gp, name in [(g_dense[0], g_pallas[0], "verts"),
+                         (g_dense[1], g_pallas[1], "soft_tex")]:
+        gd, gp = np.asarray(gd), np.asarray(gp)
+        scale = np.abs(gd).max() + 1e-8
+        np.testing.assert_allclose(gp / scale, gd / scale, atol=5e-3,
+                                   err_msg=name)
