@@ -179,5 +179,13 @@ class Trainer:
             if cfg.use_depth:
                 addim("vis/depth_gt", V.draw_depth(
                     np.asarray(sub["depth"][0]), mask0)[:, :, ::-1])
+
+            # export the current mean shape (trainer vis exports the mean
+            # mesh OBJ each vis_freq, model.py:228-236)
+            from selfcorr_tpu.ops.mesh_ops import save_obj
+            save_obj(os.path.join(self.run_dir,
+                                  f"{step}-iter-mean-mesh.obj"),
+                     np.asarray(self.state.params["mean_v"]),
+                     np.asarray(self.constants.faces))
         except Exception as e:  # vis must never kill training
             print(f"[vis] image logging failed: {e}")

@@ -142,3 +142,16 @@ def save_visualizations(out_dir: str, tag: str, batch, pred, fit, index: int,
         put("depth", draw_depth(np.asarray(batch["depth"][i]), mask))
     if on("visualize_mask"):
         put("mask", draw_mask(mask))
+    if on("visualize_gt") and "rot_gt" in batch:
+        # GT oriented box (NOCS convention: column-acting R, metric units)
+        from selfcorr_tpu.eval.box3d import Box3D
+        box_gt = Box3D.from_transformation(
+            np.asarray(batch["rot_gt"][i]), np.asarray(batch["trans_gt"][i]),
+            np.asarray(batch["scale_gt"][i]))
+        put("bbox_gt", draw_bbox3d(img, box_gt.vertices, pp, foc,
+                                   color=(255, 0, 0)))
+    if on("visualize_mesh"):
+        from selfcorr_tpu.ops.mesh_ops import save_obj
+        import os as _os
+        save_obj(_os.path.join(out_dir, f"{tag}_mesh.obj"),
+                 np.asarray(pred["pred_v"][i]), np.asarray(pred["faces"]))
