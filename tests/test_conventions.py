@@ -28,16 +28,20 @@ def test_imatch_gt_texture_sampling_roundtrip():
 
 
 def test_rasterized_depth_lands_at_projected_pixel():
-    tri_cam = jnp.asarray([[[0.45, 0.20, 4.0], [0.55, 0.20, 4.0],
-                            [0.5, 0.3, 4.0]]])
+    tri_cam = jnp.asarray([[[0.3, 0.0, 4.0], [0.7, 0.0, 4.0],
+                            [0.5, 0.5, 4.0]]])
     proj = G.project_ndc(tri_cam, PP, FOC, flip_y=True)
     rast = proj.at[..., 2].add(EYE_OFFSET).reshape(1, 1, 3, 3)
     zc = jnp.broadcast_to((rast[..., 2] - EYE_OFFSET)[..., None],
                           (1, 1, 3, 3))
     out = rasterize_dense(rast, zc, S, 1e-4, 1e-4, rgb_mode="softmax",
                           bg_color=(1, 1, 1))
-    # interior pixel of the projected triangle (rows below the top vertex)
-    assert float(out[0, 34, 39, 3]) > 0.9       # covered
-    np.testing.assert_allclose(float(out[0, 34, 39, 2]), 4.0, rtol=1e-4)
+    # footprint: x NDC [0.15, 0.35] -> cols 38-41; the apex at camera
+    # y=+0.5 flips to rasterizer y=-0.25 which is image row ~39.5 — BELOW
+    # the base edge at row 31.5, i.e. camera +y is image-down (CV
+    # convention); the same pixel grid_sample would address unflipped.
+    assert float(out[0, 33, 39, 3]) > 0.9       # interior pixel covered
+    np.testing.assert_allclose(float(out[0, 33, 39, 2]), 4.0, rtol=1e-4)
+    assert float(out[0, 28, 39, 3]) < 0.5       # above the base edge: empty
     # far corner is background
     np.testing.assert_allclose(float(out[0, 2, 2, 2]), 1.0, atol=1e-5)
