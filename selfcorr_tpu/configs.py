@@ -95,6 +95,10 @@ class Config:
     vis_freq: int = 1000
     batch_log_interval: int = 10
     num_workers: int = 8
+    loader_processes: bool = False        # decode in worker processes (like
+                                          # torch DataLoader); helps real
+                                          # JPEG datasets, a wash for the
+                                          # cached synthetic set
     logger: str = "tensorboard"
 
     # eval

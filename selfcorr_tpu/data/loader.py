@@ -12,11 +12,28 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
 
 from selfcorr_tpu.configs import Config
+
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_load(vid, fid):
+    return _WORKER_DATASET.load_item(vid, fid)
+
+
+def _worker_ping(_):
+    import time
+    time.sleep(0.3)  # keep the slot busy so the pool spawns ALL workers
+    return 0
 
 _BATCH_KEYS = ("img", "mask", "depth", "occ", "pp_crop", "foc_crop")
 _META_KEYS = ("center", "length", "foc", "pp", "idx", "frame_idx")
@@ -38,12 +55,50 @@ class TrainLoader:
     sample_plan(step) + load_item(vid, fid)."""
 
     def __init__(self, dataset, cfg: Config, num_workers: int | None = None,
-                 prefetch: int = 2, device_put_fn=None):
-        """device_put_fn: optional host->device transfer applied in the
-        producer thread, so the upload overlaps the device step."""
+                 prefetch: int = 2, device_put_fn=None,
+                 use_processes: bool = False):
+        """use_processes: decode in worker PROCESSES (like the reference's
+        torch DataLoader, dataloader.py:64 num_workers) so the GIL-heavy
+        numpy/cv2 work cannot stall the main thread's step dispatch; falls
+        back to threads if the dataset does not pickle.
+        device_put_fn: optional host->device transfer applied in the producer
+        thread, so the upload overlaps the device step."""
         self.dataset = dataset
         self.cfg = cfg
-        self.pool = ThreadPoolExecutor(num_workers or cfg.num_workers)
+        n_workers = num_workers or cfg.num_workers
+        self._procs = False
+        if use_processes and n_workers > 0:
+            try:
+                import multiprocessing as mp
+                import os
+                import pickle
+                pickle.dumps(dataset)  # surfaces unpicklable datasets now
+                # spawn workers under a scrubbed env: the sandbox
+                # sitecustomize would otherwise register the TPU backend in
+                # every worker and contend with the main process's chip
+                saved = {k: os.environ.pop(k, None)
+                         for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")}
+                os.environ["JAX_PLATFORMS"] = "cpu"
+                try:
+                    self.pool = ProcessPoolExecutor(
+                        n_workers, mp_context=mp.get_context("spawn"),
+                        initializer=_init_worker, initargs=(dataset,))
+                    # force ALL workers to spawn while the env is scrubbed
+                    list(self.pool.map(_worker_ping, range(n_workers),
+                                       chunksize=1))
+                finally:
+                    for k, v in saved.items():
+                        if v is None:
+                            os.environ.pop(k, None)
+                        else:
+                            os.environ[k] = v
+                self._procs = True
+            except Exception as e:
+                print(f"[loader] process pool unavailable ({e}); "
+                      f"falling back to threads")
+                self.pool = ThreadPoolExecutor(n_workers)
+        else:
+            self.pool = ThreadPoolExecutor(max(n_workers, 1))
         self.prefetch = prefetch
         self.device_put_fn = device_put_fn
         self.q: queue.Queue = queue.Queue(maxsize=prefetch)
@@ -51,15 +106,20 @@ class TrainLoader:
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
 
+    def _load_fn(self):
+        return _worker_load if self._procs else self.dataset.load_item
+
     def _make_batch(self, step: int):
         plan = self.dataset.sample_plan(step)
-        items = list(self.pool.map(
-            lambda vf: self.dataset.load_item(*vf), plan))
+        fn = self._load_fn()
+        items = [f.result() for f in
+                 [self.pool.submit(fn, *vf) for vf in plan]]
         return stack_items(items)
 
     def _submit(self, step: int):
         plan = self.dataset.sample_plan(step)
-        return [self.pool.submit(self.dataset.load_item, *vf) for vf in plan]
+        fn = self._load_fn()
+        return [self.pool.submit(fn, *vf) for vf in plan]
 
     def _producer(self):
         # keep the NEXT step's decode jobs in flight while the current batch

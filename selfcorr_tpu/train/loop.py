@@ -80,7 +80,8 @@ class Trainer:
         # device_put_fn) measures SLOWER on the tunneled TPU transport —
         # cross-thread device_put contends with step dispatch; keep transfers
         # on the main thread (the jit call moves host batches itself)
-        loader = TrainLoader(dataset, cfg)
+        loader = TrainLoader(dataset, cfg,
+                             use_processes=cfg.loader_processes)
         key = jax.random.PRNGKey(cfg.seed + 1)
 
         import jax.numpy as jnp
