@@ -21,6 +21,9 @@ def main(argv):
     from selfcorr_tpu.configs import parse_args
     cfg = parse_args(argv[1:])
     cfg = cfg.replace(train=False)
+    if cfg.platform:
+        import jax
+        jax.config.update("jax_platforms", cfg.platform)
     np.random.seed(cfg.seed)
 
     from selfcorr_tpu.eval.tester import Tester

@@ -123,6 +123,8 @@ class Config:
     match_with_bbox: bool = False
 
     # TPU-specific (no reference analogue)
+    platform: str = ""                    # force a jax platform ("cpu" for
+                                          # debugging; default = environment)
     num_devices: int = 1                  # data-parallel mesh size
     profile_steps: int = 0                # capture a jax.profiler trace for
                                           # steps [10, 10+profile_steps)

@@ -10,6 +10,7 @@ trainer.py:98-101).
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
@@ -34,6 +35,36 @@ def _worker_ping(_):
     import time
     time.sleep(0.3)  # keep the slot busy so the pool spawns ALL workers
     return 0
+
+
+_SCRUBBED_PYTHON = None
+
+
+def _scrubbed_python() -> str:
+    """Wrapper executable that scrubs TPU env vars, then execs python.
+
+    The sandbox's sitecustomize registers the TPU PJRT plugin at EVERY
+    interpreter start when PALLAS_AXON_POOL_IPS is set, so decode workers
+    would contend with the main process's chip. The scrub must happen in
+    the CHILD before its interpreter starts; doing it there (rather than
+    mutating the parent's os.environ around spawn) is race-free for any
+    concurrent parent thread reading JAX_PLATFORMS.
+    """
+    global _SCRUBBED_PYTHON
+    if _SCRUBBED_PYTHON is None:
+        import stat
+        import sys
+        import tempfile
+        fd, path = tempfile.mkstemp(prefix="selfcorr_worker_py_",
+                                    suffix=".sh")
+        with os.fdopen(fd, "w") as f:
+            f.write("#!/bin/sh\n"
+                    "unset PALLAS_AXON_POOL_IPS\n"
+                    "export JAX_PLATFORMS=cpu\n"
+                    f"exec {sys.executable} \"$@\"\n")
+        os.chmod(path, os.stat(path).st_mode | stat.S_IXUSR)
+        _SCRUBBED_PYTHON = path
+    return _SCRUBBED_PYTHON
 
 _BATCH_KEYS = ("img", "mask", "depth", "occ", "pp_crop", "foc_crop")
 _META_KEYS = ("center", "length", "foc", "pp", "idx", "frame_idx")
@@ -70,28 +101,19 @@ class TrainLoader:
         if use_processes and n_workers > 0:
             try:
                 import multiprocessing as mp
-                import os
                 import pickle
                 pickle.dumps(dataset)  # surfaces unpicklable datasets now
-                # spawn workers under a scrubbed env: the sandbox
-                # sitecustomize would otherwise register the TPU backend in
-                # every worker and contend with the main process's chip
-                saved = {k: os.environ.pop(k, None)
-                         for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")}
-                os.environ["JAX_PLATFORMS"] = "cpu"
-                try:
-                    self.pool = ProcessPoolExecutor(
-                        n_workers, mp_context=mp.get_context("spawn"),
-                        initializer=_init_worker, initargs=(dataset,))
-                    # force ALL workers to spawn while the env is scrubbed
-                    list(self.pool.map(_worker_ping, range(n_workers),
-                                       chunksize=1))
-                finally:
-                    for k, v in saved.items():
-                        if v is None:
-                            os.environ.pop(k, None)
-                        else:
-                            os.environ[k] = v
+                # spawn workers through the env-scrubbing wrapper so even
+                # lazily (re)spawned workers never register the TPU backend
+                ctx = mp.get_context("spawn")
+                ctx.set_executable(_scrubbed_python())
+                self.pool = ProcessPoolExecutor(
+                    n_workers, mp_context=ctx,
+                    initializer=_init_worker, initargs=(dataset,))
+                # surface spawn failures NOW (unpicklable __main__, broken
+                # wrapper exec, ...) so the threads fallback below triggers
+                list(self.pool.map(_worker_ping, range(n_workers),
+                                   chunksize=1))
                 self._procs = True
             except Exception as e:
                 print(f"[loader] process pool unavailable ({e}); "

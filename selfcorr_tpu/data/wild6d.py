@@ -33,12 +33,16 @@ class Wild6DVideos:
         with open(video_list_file) as f:
             names = f.read().strip().split()
         self.videos = []
-        obj_list = sorted(os.listdir(root))
+        # directories only, so stray files (README, .DS_Store) can't shift
+        # the index mapping; scripts/gen_lists.py enumerates the same way
+        obj_list = sorted(d for d in os.listdir(root)
+                          if os.path.isdir(os.path.join(root, d)))
         for seqname in names:
             parts = seqname.split("_")
             obj_index, seq_index = int(parts[-2]), int(parts[-1])
             obj = obj_list[obj_index]
-            seq_list = sorted(os.listdir(os.path.join(root, obj)))
+            seq_list = sorted(d for d in os.listdir(os.path.join(root, obj))
+                              if os.path.isdir(os.path.join(root, obj, d)))
             seq = seq_list[seq_index]
             seq_dir = os.path.join(root, obj, seq)
             masks = glob.glob(os.path.join(seq_dir, "images/*-mask.png"))
