@@ -1,19 +1,26 @@
-"""Benchmark: full training-step throughput on the flagship Wild6D-laptop
+"""Benchmark: training + inference throughput on the flagship Wild6D-laptop
 configuration (642-vert/1280-face mesh prior, 256^2 crops, batch 8 videos x 4
 frames = 32 images), synthetic data, real hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The headline metric is the raw jitted train-step throughput; "extra" carries
+the END-TO-END Trainer-loop imgs/s (loader + upload + dispatch included,
+reference hot loop trainer.py:105-129) and the predict-path FPS
+(forward_test + whole-batch RANSAC pose fit at the scripts/predict.sh
+config: batch 16, tester.py:166-185).
 
 vs_baseline: the reference repo publishes no throughput numbers
 (BASELINE.md); the denominator is an estimate of the reference's 2x RTX-3090
 training throughput from its per-iter composition (4 SoftRas renders fwd+bwd
 + 4x-redundant frozen DINO forwards + resnet18 at batch 32; ~1.5 s/iter
-=> ~21 imgs/s). Replace with a measured number when the torch reference can
-be run side-by-side.
+=> ~21 imgs/s). PROVISIONAL until the torch reference is measured
+side-by-side (flagged in the JSON as baseline_estimated).
 """
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
@@ -23,27 +30,22 @@ import jax.numpy as jnp
 BASELINE_IMGS_PER_SEC = 21.0
 
 
-def main():
-    from selfcorr_tpu.utils.jit_cache import enable as _enable_cache
-    _enable_cache()
+def flagship_cfg(on_cpu: bool, **kw):
     from selfcorr_tpu.configs import Config
-    from selfcorr_tpu.models.meshnet import build_mesh_constants
-    from selfcorr_tpu.train.optim import make_optimizer
-    from selfcorr_tpu.train.step import init_state, make_train_step
+    base = dict(img_size=256, corr_h=64, corr_w=64, subdivide=3,
+                batch_size=8, repeat=4, total_iters=20000, symmetry_idx=1,
+                use_depth=True, divide_fn="both", pretrain_k=200,
+                codedim=64, n_corr_feat=64, depth_offset=5.0,
+                use_pallas=not on_cpu)
+    base.update(kw)
+    return Config(**base)
 
-    on_cpu = jax.default_backend() == "cpu"
-    cfg = Config(img_size=256, corr_h=64, corr_w=64, subdivide=3,
-                 batch_size=8, repeat=4, total_iters=20000, symmetry_idx=1,
-                 use_depth=True, divide_fn="both", pretrain_k=200,
-                 codedim=64, n_corr_feat=64, depth_offset=5.0,
-                 use_pallas=not on_cpu)
-    b = cfg.batch_size * cfg.repeat
-    s = cfg.img_size
 
-    rng = np.random.RandomState(0)
+def synth_batch(b, s, seed=0):
+    rng = np.random.RandomState(seed)
     mask = np.zeros((b, s, s), np.float32)
-    mask[:, 64:192, 64:192] = 1.0
-    batch = {
+    mask[:, s // 4: 3 * s // 4, s // 4: 3 * s // 4] = 1.0
+    return {
         "img": jnp.asarray(rng.rand(b, s, s, 3).astype(np.float32)),
         "mask": jnp.asarray(mask),
         "depth": jnp.asarray((mask * (5.0 + rng.rand(b, s, s))).astype(np.float32)),
@@ -52,13 +54,22 @@ def main():
         "foc_crop": jnp.full((b, 2), 2.0, jnp.float32),
     }
 
+
+def bench_train_step(on_cpu: bool) -> float:
+    from selfcorr_tpu.models.meshnet import build_mesh_constants
+    from selfcorr_tpu.train.optim import make_optimizer
+    from selfcorr_tpu.train.step import init_state, make_train_step
+
+    cfg = flagship_cfg(on_cpu)
+    b = cfg.batch_size * cfg.repeat
+    batch = synth_batch(b, cfg.img_size)
+
     constants = build_mesh_constants(cfg)
     state = init_state(cfg, constants, jax.random.PRNGKey(0))
     tx = make_optimizer(cfg, state.params)
     step_fn = make_train_step(cfg, constants, tx, donate=True)
 
-    # warmup / compile
-    state, m = step_fn(state, batch, jax.random.PRNGKey(1))
+    state, m = step_fn(state, batch, jax.random.PRNGKey(1))  # compile
     jax.block_until_ready(m["total_loss"])
 
     n_iters = 3 if on_cpu else 10
@@ -66,14 +77,94 @@ def main():
     for i in range(n_iters):
         state, m = step_fn(state, batch, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(m["total_loss"])
-    dt = (time.time() - t0) / n_iters
-    imgs_per_sec = b / dt
+    return b / ((time.time() - t0) / n_iters)
+
+
+def bench_trainer_loop(on_cpu: bool) -> float | None:
+    """END-TO-END Trainer throughput: loader threads, host->device upload
+    (double-buffered), step dispatch, periodic metric fetch — what a real
+    training run gets (reference trainer.py:105-129)."""
+    from selfcorr_tpu.train.loop import Trainer
+
+    run_dir = tempfile.mkdtemp(prefix="bench_trainer_")
+    iters = 12 if on_cpu else 40
+    cfg = flagship_cfg(
+        on_cpu, dataset_name="synthetic", total_iters=iters,
+        batch_log_interval=10, checkpoint_dir=run_dir, name="bench",
+        save_freq=10 ** 9, vis_freq=10 ** 9, num_workers=8)
+    if on_cpu:  # keep the CPU smoke test small
+        cfg = cfg.replace(img_size=32, corr_h=8, corr_w=8, subdivide=1,
+                          batch_size=2, repeat=2, pretrain_k=8,
+                          n_corr_feat=16, codedim=8, batch_log_interval=4)
+    trainer = Trainer(cfg)
+    trainer.train()
+    return trainer.last_imgs_per_sec
+
+
+def bench_predict(on_cpu: bool) -> float:
+    """Predict-path FPS: jitted forward_test + whole-batch RANSAC-Umeyama
+    pose fit at the scripts/predict.sh config (batch 16, tester.py:166-185,
+    324-427)."""
+    import functools
+    from selfcorr_tpu.eval.pose_fit import fit_poses
+    from selfcorr_tpu.models.meshnet import build_mesh_constants, forward_test
+    from selfcorr_tpu.train.step import init_state
+
+    cfg = flagship_cfg(on_cpu, batch_size=16, repeat=1, train=False)
+    if on_cpu:
+        cfg = cfg.replace(img_size=32, corr_h=8, corr_w=8, subdivide=1,
+                          batch_size=4, pretrain_k=8, n_corr_feat=16,
+                          codedim=8, pose_fit_max_points=512)
+    b = cfg.batch_size * cfg.repeat
+    batch = synth_batch(b, cfg.img_size, seed=3)
+    constants = build_mesh_constants(cfg)
+    state = init_state(cfg, constants, jax.random.PRNGKey(0))
+    base_rot = jnp.asarray(constants.base_rot)
+
+    @jax.jit
+    def predict(params, batch_stats, batch, rng):
+        pred = forward_test(params, batch_stats, batch, constants, rng, cfg)
+        fit = fit_poses(rng, pred["match"], pred["match_conf"],
+                        batch["depth"], batch["mask"], batch["pp_crop"],
+                        batch["foc_crop"], pred["pred_v"], base_rot,
+                        max_points=cfg.pose_fit_max_points,
+                        n_iters=cfg.ransac_iters)
+        return pred, fit
+
+    _, fit = predict(state.params, state.batch_stats, batch,
+                     jax.random.PRNGKey(1))  # compile
+    jax.block_until_ready(fit["bbox9"])
+
+    n_iters = 3 if on_cpu else 10
+    t0 = time.time()
+    for i in range(n_iters):
+        _, fit = predict(state.params, state.batch_stats, batch,
+                         jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(fit["bbox9"])
+    return b / ((time.time() - t0) / n_iters)
+
+
+def main():
+    from selfcorr_tpu.utils.jit_cache import enable as _enable_cache
+    _enable_cache()
+
+    on_cpu = jax.default_backend() == "cpu"
+    step_ips = bench_train_step(on_cpu)
+    predict_fps = bench_predict(on_cpu)
+    trainer_ips = bench_trainer_loop(on_cpu)
 
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip_wild6d_laptop",
-        "value": round(imgs_per_sec, 2),
+        "value": round(step_ips, 2),
         "unit": "imgs/sec",
-        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+        "vs_baseline": round(step_ips / BASELINE_IMGS_PER_SEC, 3),
+        "extra": {
+            "trainer_loop_imgs_per_sec": (None if trainer_ips is None
+                                          else round(trainer_ips, 2)),
+            "predict_fps_batch16": round(predict_fps, 2),
+            "baseline_imgs_per_sec_estimated": BASELINE_IMGS_PER_SEC,
+            "baseline_estimated": True,
+        },
     }))
 
 

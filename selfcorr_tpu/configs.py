@@ -123,6 +123,10 @@ class Config:
     match_with_bbox: bool = False
 
     # TPU-specific (no reference analogue)
+    synthetic_shape: str = "ellipsoid"    # synthetic dataset shape family
+                                          # (ellipsoid | duo); duo is the
+                                          # rotationally-unambiguous shape
+                                          # for deg/cm validation
     platform: str = ""                    # force a jax platform ("cpu" for
                                           # debugging; default = environment)
     num_devices: int = 1                  # data-parallel mesh size

@@ -15,6 +15,21 @@ from selfcorr_tpu.configs import Config
 from selfcorr_tpu.data.crops import crop_frame
 
 
+def duo_prior_mesh(subdivide: int = 2):
+    """Category-canonical shape prior for shape='duo': two merged icospheres
+    with the duo family's mean proportions, in the SAME object frame as the
+    ray tracer — so the learned canonical frame is identifiable and the
+    deg/cm eval buckets are meaningful. Returns (verts, faces)."""
+    from selfcorr_tpu.ops.mesh_ops import icosphere
+    v, f = icosphere(subdivide)
+    r = 0.75
+    big = v * r
+    small = v * (r * 0.5) + np.array([r * 1.1, 0.0, 0.0])
+    verts = np.concatenate([big, small]).astype(np.float64)
+    faces = np.concatenate([f, f + len(v)]).astype(np.int64)
+    return verts, faces
+
+
 def _rot_y(t):
     c, s = np.cos(t), np.sin(t)
     return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
@@ -26,16 +41,44 @@ def _rot_x(t):
 
 
 class SyntheticVideos:
+    """shape='ellipsoid': one ellipsoid per video (rotationally ambiguous —
+    good for silhouette/IoU validation). shape='duo': a big + small ellipsoid
+    union offset along +x (rotationally UNAMBIGUOUS — exercises the deg/cm
+    buckets; pair with the duo prior mesh so the learned canonical frame is
+    identifiable, see `duo_prior_mesh`)."""
+
     def __init__(self, num_videos: int = 4, frames_per_video: int = 24,
-                 raw_size: int = 320, seed: int = 0):
+                 raw_size: int = 320, seed: int = 0,
+                 shape: str = "ellipsoid"):
         self.n_videos = num_videos
         self.n_frames = frames_per_video
         self.raw = raw_size
+        self.shape = shape
         rng = np.random.RandomState(seed)
         self.radii = rng.uniform(0.5, 1.0, size=(num_videos, 3))
         self.phase = rng.uniform(0, 2 * np.pi, size=(num_videos,))
         self.tilt = rng.uniform(-0.4, 0.4, size=(num_videos,))
         self.z0 = rng.uniform(4.0, 6.0, size=(num_videos,))
+        # duo: a second, smaller lobe offset along +x (per-video constant
+        # proportions so all videos share one category-canonical layout)
+        self.radii2 = self.radii * 0.5
+        self.off = self.radii[:, 0] * 1.1
+
+    def parts(self, vid: int):
+        """[(radii, center_obj)] of the union in the object frame."""
+        if self.shape == "ellipsoid":
+            return [(self.radii[vid], np.zeros(3))]
+        return [(self.radii[vid], np.zeros(3)),
+                (self.radii2[vid], np.array([self.off[vid], 0.0, 0.0]))]
+
+    def canonical_box(self, vid: int):
+        """(center_obj (3,), size (3,)) of the union's object-frame box."""
+        lo = np.full(3, np.inf)
+        hi = np.full(3, -np.inf)
+        for r, cb in self.parts(vid):
+            lo = np.minimum(lo, cb - r)
+            hi = np.maximum(hi, cb + r)
+        return (lo + hi) / 2.0, hi - lo
 
     def num_frames(self, vid: int) -> int:
         return self.n_frames
@@ -52,9 +95,8 @@ class SyntheticVideos:
         return cache[key]
 
     def _render_frame_impl(self, vid: int, fid: int):
-        """Ray-traced ellipsoid: returns img [0,1], mask, depth, foc, pp."""
+        """Ray-traced ellipsoid union: img [0,1], mask, depth, foc, pp."""
         s = self.raw
-        r = self.radii[vid]
         theta = self.phase[vid] + 2 * np.pi * fid / self.n_frames
         R = _rot_x(self.tilt[vid]) @ _rot_y(theta)
         z0 = self.z0[vid]
@@ -69,26 +111,37 @@ class SyntheticVideos:
         dy = (ys - pp[1]) / foc[1]
         d = np.stack([dx, dy, np.ones_like(dx)], -1)  # (s,s,3)
 
-        # ellipsoid: |A (R^T (p - c))| = 1 with A = diag(1/r)
-        M = np.diag(1.0 / r) @ R.T
         c = np.array([0.0, 0.0, z0])
-        dm = d @ M.T
-        om = (-c) @ M.T
-        a = np.sum(dm * dm, -1)
-        b = 2 * np.sum(dm * om, -1)
-        cc = np.sum(om * om) - 1.0
-        disc = b * b - 4 * a * cc
-        hit = disc > 0
-        t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a), 0.0)
+        t_best = np.full(xs.shape, np.inf)
+        hit = np.zeros(xs.shape, bool)
+        for r, cb in self.parts(vid):
+            # ellipsoid: |A (R^T (p - c_world))| = 1, A = diag(1/r),
+            # c_world = R cb + c (cb is the lobe center in the object frame)
+            cw = cb @ R.T + c
+            M = np.diag(1.0 / r) @ R.T
+            dm = d @ M.T
+            om = (-cw) @ M.T
+            a = np.sum(dm * dm, -1)
+            b = 2 * np.sum(dm * om, -1)
+            cc = np.sum(om * om) - 1.0
+            disc = b * b - 4 * a * cc
+            h = disc > 0
+            t = np.where(h, (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a),
+                         np.inf)
+            t_best = np.minimum(t_best, t)
+            hit |= h
+        t = np.where(hit, t_best, 0.0)
         # depth maps are in MILLIMETERS like Wild6D/NOCS (-depth.png); GT
         # translations/sizes stay metric — the pose fit converts with x0.001
         # (tester.py:391-393)
         depth = np.where(hit, t * 1000.0, 0.0).astype(np.float32)
 
-        # surface point in object frame -> procedural texture
+        # surface point in object frame -> procedural texture (normalized by
+        # the union box so the pattern is asymmetric for 'duo')
         p = d * t[..., None] - c
         obj = p @ R  # R^T p as row vectors
-        u = obj / r
+        cb0, size = self.canonical_box(vid)
+        u = (obj - cb0) / (size / 2.0)
         tex_r = 0.5 + 0.5 * np.sin(6 * u[..., 0] + 2 * u[..., 2])
         tex_g = 0.5 + 0.5 * np.sin(5 * u[..., 1] - 3 * u[..., 0])
         tex_b = 0.5 + 0.5 * np.cos(4 * u[..., 2] + u[..., 1])
@@ -104,9 +157,11 @@ class SyntheticTest:
     trans_gt = center, scale_gt = 2 * radii."""
 
     def __init__(self, cfg: Config, num_videos: int = 2,
-                 frames_per_video: int = 6, seed: int = 0):
+                 frames_per_video: int = 6, seed: int = 0,
+                 shape: str = "ellipsoid"):
         self.cfg = cfg
-        self.videos = SyntheticVideos(num_videos, frames_per_video, seed=seed)
+        self.videos = SyntheticVideos(num_videos, frames_per_video, seed=seed,
+                                      shape=shape)
         self.samples = [(v, f) for v in range(num_videos)
                         for f in range(0, frames_per_video,
                                        max(cfg.dframe_eval, 1))]
@@ -126,9 +181,11 @@ class SyntheticTest:
         if cfg.eval:
             theta = self.videos.phase[vid] + 2 * np.pi * fid / self.videos.n_frames
             R = _rot_x(self.videos.tilt[vid]) @ _rot_y(theta)
+            cb0, size = self.videos.canonical_box(vid)
             out["rot_gt"] = R.astype(np.float32)
-            out["trans_gt"] = np.array([0, 0, self.videos.z0[vid]], np.float32)
-            out["scale_gt"] = (2 * self.videos.radii[vid]).astype(np.float32)
+            out["trans_gt"] = (R @ cb0 + np.array(
+                [0, 0, self.videos.z0[vid]])).astype(np.float32)
+            out["scale_gt"] = size.astype(np.float32)
         return out
 
 
@@ -136,11 +193,12 @@ class SyntheticTrain:
     """Drop-in analogue of Wild6DTrain over procedural videos."""
 
     def __init__(self, cfg: Config, num_shards: int = 1, seed: int = 0,
-                 num_videos: int = 4, frames_per_video: int = 24):
+                 num_videos: int = 4, frames_per_video: int = 24,
+                 shape: str = "ellipsoid"):
         self.cfg = cfg
         self.num_shards = num_shards
         self.videos = SyntheticVideos(num_videos, frames_per_video,
-                                      seed=seed)
+                                      seed=seed, shape=shape)
         self.rng = np.random.RandomState(seed + 1)
 
     def sample_plan(self, step: int):

@@ -34,6 +34,7 @@ def fit_poses(key, match, match_conf, depth, mask, pp_crop, foc_crop,
     Returns dict(bbox9, verts, rotation, translation, scale_fit, ok).
     """
     b, h, w = depth.shape
+    max_points = min(max_points, h * w)  # budget can't exceed the image
     grid = pixel_grid_ndc(h, w, depth.dtype)  # (h,w,2)
 
     weight = ((depth > 0) & (mask > 0) & (match_conf > 0)).astype(jnp.float32)

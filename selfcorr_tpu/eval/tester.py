@@ -30,7 +30,7 @@ def make_test_dataset(cfg: Config):
         return Wild6DTest(cfg)
     if cfg.dataset_name == "synthetic":
         from selfcorr_tpu.data.synthetic import SyntheticTest
-        return SyntheticTest(cfg)
+        return SyntheticTest(cfg, shape=cfg.synthetic_shape)
     if cfg.dataset_name == "nocs":
         from selfcorr_tpu.data.nocs import NOCSTest
         return NOCSTest(cfg)
@@ -136,7 +136,13 @@ class Tester:
 
     def _eval_cub(self, batch, pred, fit, cub_iou, cub_pck):
         """Mask IoU of the fitted render + keypoint transfer PCK
-        (tester.py:224-292)."""
+        (tester.py:224-292).
+
+        Reference-parity note: CUB has no depth, so pose_fitting's point set
+        is empty and EVERY sample takes the DEFAULT fallback pose (identity
+        R, t=[0,0,0.5]m, scale 0.1 — tester.py:374-379); the reference's
+        eval_cub still renders the mask from that fallback
+        (tester.py:233-241). Pinned by test_cub_eval_end_to_end."""
         cfg = self.cfg
         from selfcorr_tpu.ops.rasterizer import render_fused
         from selfcorr_tpu.ops import geometry as G

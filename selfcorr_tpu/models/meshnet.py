@@ -148,9 +148,11 @@ def weights_schedule(step, cfg: Config):
 
 
 def render_products(pred_v, faces, tex, foc_crop, pp_crop, rotation,
-                    translation, cfg: Config, use_pallas: bool | None = None):
+                    translation, cfg: Config, use_pallas: bool | None = None,
+                    surf_tex=None):
     """Camera transform + fused rasterization + analytic imatch_gt and
-    per-vertex visibility weights (renderer.py:38-73)."""
+    per-vertex visibility weights (renderer.py:38-73). surf_tex (B,F,R^2,3)
+    switches the texture pass to per-face texel grids ('surface' mode)."""
     verts_cam = G.rigid_transform(pred_v, rotation, translation)
     proj = G.project_ndc(verts_cam, pp_crop, foc_crop, flip_y=True)
     rast = proj.at[..., 2].add(EYE_OFFSET)
@@ -161,7 +163,8 @@ def render_products(pred_v, faces, tex, foc_crop, pp_crop, rotation,
 
     backend = "pallas" if (use_pallas if use_pallas is not None
                            else cfg.use_pallas) else "dense"
-    out = render_fused(fv, soft_tex, hard_tex, cfg.img_size, backend=backend)
+    out = render_fused(fv, soft_tex, hard_tex, cfg.img_size, backend=backend,
+                       surf_tex=surf_tex)
 
     if not cfg.use_depth:
         out["depth"] = jax.lax.stop_gradient(out["depth"])
@@ -219,17 +222,18 @@ def forward_train(params, batch_stats, dino_params, batch, constants:
         img_feat, mesh_feat, mask, pred_v, meshgrid,
         cfg.tau_img, cfg.tau_mesh, cfg.corr_h, cfg.corr_w)
 
-    # vertex colors sampled at matched pixels (mesh.py:46-51)
-    if cfg.surface_texture:
-        raise NotImplementedError(
-            "surface_texture=True (off in all shipped reference configs) is "
-            "supported by the dense rasterizer backend only — see "
-            "models/surface_texture.py; the fused Pallas path requires "
-            "vertex textures.")
+    # vertex colors sampled at matched pixels (mesh.py:46-51); with
+    # surface_texture the render's texture pass instead uses per-face texel
+    # grids sampled at imatch-interpolated points (surface_texture.py:21-55)
     tex = grid_sample(img, imatch)  # (B, N, 3)
+    surf = None
+    if cfg.surface_texture:
+        from selfcorr_tpu.models.surface_texture import surface_texture
+        surf = surface_texture(img, imatch, faces, cfg.n_tex_sample)
 
     r = render_products(pred_v, faces, tex, batch["foc_crop"],
-                        batch["pp_crop"], rotation, translation, cfg)
+                        batch["pp_crop"], rotation, translation, cfg,
+                        surf_tex=surf)
 
     occ = batch.get("occ") if cfg.use_occ else None
     aux = {}
@@ -328,6 +332,86 @@ def forward_train(params, batch_stats, dino_params, batch, constants:
 
     aux["total_loss"] = total
     return total, (aux, updates["batch_stats"])
+
+
+def forward_vis(params, batch_stats, dino_params, batch,
+                constants: MeshConstants, rng, cfg: Config,
+                use_pallas: bool | None = None):
+    """Device-side products for the FULL TB image-panel set
+    (reference trainer.py:175-198 + model.py:154-307): renders, depth diff,
+    mean-mesh depth, rotation-cycle matches and frozen-DINO pair matches.
+
+    batch must hold >= 2 frames of the SAME video (the DINO/cycle panels
+    pair frame 0 with frame 1). Host-side drawing lives in utils/vis.py.
+    """
+    from selfcorr_tpu.losses.render_losses import depth_loss
+
+    img = batch["img"]
+    mask = batch["mask"]
+    b = img.shape[0]
+    faces = jnp.asarray(constants.faces)
+    out = forward_test(params, batch_stats, batch, constants, rng, cfg)
+
+    r = render_products(out["pred_v"], faces, out["tex"], batch["foc_crop"],
+                        batch["pp_crop"], out["rotation"],
+                        out["translation"], cfg, use_pallas=use_pallas)
+    vis = dict(out)
+    vis.update(r)
+
+    # mean-mesh depth render (renderer.py:60-63 render_mean_mesh: the
+    # canonical mean shape under the predicted pose)
+    mean_v = jnp.broadcast_to(params["mean_v"][None],
+                              (b,) + params["mean_v"].shape)
+    rm = render_products(mean_v, faces, jnp.zeros_like(out["tex"]),
+                         batch["foc_crop"], batch["pp_crop"],
+                         out["rotation"], out["translation"], cfg,
+                         use_pallas=use_pallas)
+    vis["mean_v_depth"] = rm["depth_render"]
+    vis["mean_v_mask"] = rm["depth_mask"]
+
+    if cfg.use_depth:
+        _, depth_diff = depth_loss(batch["depth"], r["depth_render"],
+                                   r["depth_mask"], mask)
+        vis["depth_diff"] = depth_diff
+
+    # rotation-cycle panel (correspondence.py:76-113 products)
+    net = Networks(cfg)
+    k_cyc, k_jit = jax.random.split(rng)
+    net_in = preprocess(rng, img, False)
+    _, img_feat = net.apply(
+        {"params": params["net"], "batch_stats": batch_stats},
+        net_in, False, method="encode_img")
+
+    def encode_fn(x):
+        x = preprocess(k_jit, x, False)
+        _, f = net.apply(
+            {"params": params["net"], "batch_stats": batch_stats},
+            x, False, method="encode_img")
+        return f
+
+    meshgrid = corr.make_meshgrid(cfg.corr_h, cfg.corr_w)
+    _, cycle_match, cycle_gt, cycle_mask = corr.rotation_cycle_loss(
+        k_cyc, img, mask, img_feat, encode_fn, meshgrid, cfg.tau_mesh,
+        cfg.corr_h, cfg.corr_w)
+    vis.update(cycle_match=cycle_match, cycle_match_gt=cycle_gt,
+               cycle_mask=cycle_mask)
+
+    # frozen-DINO pair panel: frame 0 (src) vs frame 1 (tgt) of the first
+    # video (the reference draws pair 0 of its batch pairing,
+    # model.py:267-290)
+    dino = DinoViTS8()
+    dino_feat = dino.apply({"params": dino_params}, img[:2])
+    dino_feat = dino_feat.reshape(2, -1, dino_feat.shape[-1])
+    src_f, tgt_f = dino_feat[0:1], dino_feat[1:2]
+    _, dino_vis = corr.dino_cycle_loss(
+        (src_f, tgt_f), (mask[0:1], mask[1:2]),
+        (r["depth_weight"][0:1], r["depth_weight"][1:2]),
+        (out["pointcorr"][0:1], out["pointcorr"][1:2]),
+        meshgrid, cfg.tau_img, cfg.tau_mesh, cfg.corr_h, cfg.corr_w,
+        min(cfg.pretrain_k, (cfg.corr_h // 2) * (cfg.corr_w // 2)))
+    vis.update(pt_pts_src=dino_vis["pts_src"], pt_pts_tgt=dino_vis["pts_tgt"],
+               pt_match=dino_vis["match"], pt_mask=dino_vis["mask"])
+    return vis
 
 
 def forward_test(params, batch_stats, batch, constants: MeshConstants,

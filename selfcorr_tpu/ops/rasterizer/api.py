@@ -48,22 +48,32 @@ def render_fused(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
                  hard_tex: jnp.ndarray, image_size: int,
                  sigma1: float = 1e-4, sigma2: float = 1e-3,
                  gamma_d: float = 1e-4, gamma_t: float = 1e-2,
-                 backend: str = "pallas", interpret: bool | None = None):
+                 backend: str = "pallas", interpret: bool | None = None,
+                 surf_tex: jnp.ndarray | None = None):
     """Fused 4-in-1 render. face_verts (B,F,3,3) rasterizer space
     (z = camera z + EYE_OFFSET); textures (B,F,3corner,3rgb).
+
+    surf_tex (B,F,R^2,3), when given, switches the texture pass to per-face
+    texel grids ('surface' mode, soft_rasterize_cuda_kernel.cu:178-217);
+    soft_tex is then ignored by the texture pass.
 
     Returns dict: alpha1, alpha2, depth (camera z), tex (B,S,S,3),
     match (B,S,S,3).
     """
     if backend == "dense":
         return ref.render_fused_dense(face_verts, soft_tex, hard_tex,
-                                      image_size)
+                                      image_size, surf_tex=surf_tex)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    consts = PR.pack_constants(face_verts, soft_tex, hard_tex)
+    tex_res = 0
+    if surf_tex is not None:
+        tex_res = int(round(surf_tex.shape[2] ** 0.5))
+        assert tex_res * tex_res == surf_tex.shape[2], surf_tex.shape
+    consts = PR.pack_constants(face_verts, soft_tex, hard_tex,
+                               surf_tex=surf_tex)
     out = PR.raster_fused_core(
         consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
-        C.NEAR, C.FAR, C.BG_EPS, C.EYE_OFFSET, interpret)
+        C.NEAR, C.FAR, C.BG_EPS, C.EYE_OFFSET, interpret, tex_res)
     return {
         "alpha1": out["alpha1"],
         "alpha2": out["alpha2"],

@@ -67,6 +67,7 @@ S_BBOX = 37   # 4: xmin, xmax, ymin, ymax
 S_STEX = 41   # 9: soft texture (3 corners x rgb)
 S_HTEX = 50   # 9: hard texture
 N_SLOTS = 59
+S_SURF = N_SLOTS  # optional surface-texture texels (R^2 x rgb), appended
 
 _BIG = 1e9
 # y-band quantization for the face sort: band-major, x-minor ordering keeps
@@ -81,8 +82,13 @@ def _face_bands(ycen: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_constants(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
-                   hard_tex: jnp.ndarray, sort_faces: bool = True) -> jnp.ndarray:
+                   hard_tex: jnp.ndarray, sort_faces: bool = True,
+                   surf_tex: jnp.ndarray | None = None) -> jnp.ndarray:
     """(B,F,3,3) verts + textures -> (B, F_padded, K) f32, differentiable.
+
+    surf_tex (B,F,R^2,3), when given, appends per-face texel grids for the
+    'surface' texture mode (soft_rasterize_cuda_kernel.cu:178-217); the
+    lane count grows to the next multiple of 64.
 
     Faces are sorted by bbox y-centre per batch element so each streamed
     16-face chunk is y-coherent and the kernel's chunk-level bbox cull
@@ -111,6 +117,9 @@ def pack_constants(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
                                        axis=1)
         hard_tex = jnp.take_along_axis(hard_tex, order[..., None, None],
                                        axis=1)
+        if surf_tex is not None:
+            surf_tex = jnp.take_along_axis(surf_tex, order[..., None, None],
+                                           axis=1)
     c = C.pack_face_constants(face_verts)
     cols = [
         c.w_a.reshape(b, f, 9),
@@ -124,10 +133,15 @@ def pack_constants(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
         soft_tex.reshape(b, f, 9),
         jax.lax.stop_gradient(hard_tex).reshape(b, f, 9),
     ]
+    n_slots = N_SLOTS
+    if surf_tex is not None:
+        cols.append(surf_tex.reshape(b, f, -1))
+        n_slots += surf_tex.shape[2] * 3
+    k_tot = max(K, -(-n_slots // 64) * 64)
     packed = jnp.concatenate(cols, axis=-1).astype(jnp.float32)
-    packed = jnp.pad(packed, ((0, 0), (0, 0), (0, K - N_SLOTS)))
+    packed = jnp.pad(packed, ((0, 0), (0, 0), (0, k_tot - n_slots)))
     if f_pad != f:
-        filler = jnp.zeros((b, f_pad - f, K), jnp.float32)
+        filler = jnp.zeros((b, f_pad - f, k_tot), jnp.float32)
         filler = filler.at[..., S_PC + 2].set(_BIG)   # pv0 offset (edge 0)
         filler = filler.at[..., S_PC + 5].set(_BIG)
         filler = filler.at[..., S_PC + 8].set(_BIG)
@@ -239,6 +253,32 @@ def _chunk_geometry(cv, xs, ys, p2, sigma1, sigma2, near, far):
                 dline2=dline2, seg_cache=seg_cache, dseg2=dseg2)
 
 
+def _surface_texel_sel(c0, c1, res):
+    """Per-texel selection masks for the 'surface' texture lookup
+    (kernel.cu:178-195 cell + diagonal fold, matching
+    models/surface_texture.sample_surface_texture). Returns a list of R^2
+    float masks (FF, TR, TC); exactly one is 1 per (face, pixel)."""
+    wx = jnp.clip(jnp.floor(c0 * res), 0.0, res - 1.0)
+    wy = jnp.clip(jnp.floor(c1 * res), 0.0, res - 1.0)
+    upper = ((c0 + c1) * res - wx - wy) <= 1.0
+    idx = jnp.where(upper, wy * res + wx,
+                    (res - 1.0 - wy) * res + (res - 1.0 - wx))
+    return [(idx == float(t)).astype(jnp.float32)
+            for t in range(res * res)]
+
+
+def _surface_color(cv, sels, res):
+    """Texel-grid color at each (face, pixel): sum of one-hot-selected
+    per-face texel constants (gather-free — Mosaic-friendly)."""
+    col_r = col_g = col_b = 0.0
+    for t, sel in enumerate(sels):
+        tr_, tg_, tb_ = _cols(cv, S_SURF + 3 * t, 3)
+        col_r = col_r + sel * tr_
+        col_g = col_g + sel * tg_
+        col_b = col_b + sel * tb_
+    return col_r, col_g, col_b
+
+
 def _prod_faces(x):
     """prod over the leading (face) axis via pairwise tree reduction —
     Mosaic has no reduce_prod lowering. x: (FF, TR, TC) -> (1, TR, TC)."""
@@ -284,7 +324,8 @@ def _tile_pixel_coords(image_size):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(ranges_ref, consts_ref, *out_refs, image_size, n_chunks,
-                sigma1, sigma2, gamma_d, gamma_t, near, far, bg_eps, z_offset):
+                sigma1, sigma2, gamma_d, gamma_t, near, far, bg_eps, z_offset,
+                tex_res=0):
     (a1_ref, a2_ref, depth_ref, texr_ref, texg_ref, texb_ref,
      matr_ref, matg_ref, matb_ref, md_ref, sd_ref, mt_ref, st_ref) = out_refs
 
@@ -341,10 +382,14 @@ def _fwd_kernel(ranges_ref, consts_ref, *out_refs, image_size, n_chunks,
 
             contrib_t = g["contrib2"] & g["z_ok"]
             zn_t = jnp.where(contrib_t, g["zn"], -jnp.inf)
-            tex = _cols(cv, S_STEX, 9)
-            col_r = c0 * tex[0] + c1 * tex[3] + c2 * tex[6]
-            col_g = c0 * tex[1] + c1 * tex[4] + c2 * tex[7]
-            col_b = c0 * tex[2] + c1 * tex[5] + c2 * tex[8]
+            if tex_res:
+                sels = _surface_texel_sel(c0, c1, tex_res)
+                col_r, col_g, col_b = _surface_color(cv, sels, tex_res)
+            else:
+                tex = _cols(cv, S_STEX, 9)
+                col_r = c0 * tex[0] + c1 * tex[3] + c2 * tex[6]
+                col_g = c0 * tex[1] + c1 * tex[4] + c2 * tex[7]
+                col_b = c0 * tex[2] + c1 * tex[5] + c2 * tex[8]
             m_t, s_t, (acc_tr, acc_tg, acc_tb) = _softmax_update(
                 m_t, s_t, [acc_tr, acc_tg, acc_tb], zn_t, d2,
                 [col_r, col_g, col_b], gamma_t)
@@ -419,7 +464,8 @@ def _bwd_kernel(ranges_ref, consts_ref, a1_ref, a2_ref, depth_ref, texr_ref,
                 texg_ref, texb_ref, md_ref, sd_ref, mt_ref, st_ref,
                 ga1_ref, ga2_ref, gd_ref, gtr_ref, gtg_ref, gtb_ref,
                 grad_ref, *, image_size, n_chunks,
-                sigma1, sigma2, gamma_d, gamma_t, near, far, bg_eps, z_offset):
+                sigma1, sigma2, gamma_d, gamma_t, near, far, bg_eps, z_offset,
+                tex_res=0):
     s_img = image_size
     tc = min(TC, s_img)
     xs, ys = _tile_pixel_coords(s_img)
@@ -493,10 +539,15 @@ def _bwd_kernel(ranges_ref, consts_ref, a1_ref, a2_ref, depth_ref, texr_ref,
             contrib_t = g["contrib2"] & g["z_ok"]
             zn_t = jnp.where(contrib_t, zn, -jnp.inf)
             u_t = jnp.exp((zn_t - m_t) / gamma_t) / s_t
-            tex = _cols(cv, S_STEX, 9)
-            col_r = c0 * tex[0] + c1 * tex[3] + c2 * tex[6]
-            col_g = c0 * tex[1] + c1 * tex[4] + c2 * tex[7]
-            col_b = c0 * tex[2] + c1 * tex[5] + c2 * tex[8]
+            if tex_res:
+                sels = _surface_texel_sel(c0, c1, tex_res)
+                col_r, col_g, col_b = _surface_color(cv, sels, tex_res)
+            else:
+                sels = None
+                tex = _cols(cv, S_STEX, 9)
+                col_r = c0 * tex[0] + c1 * tex[3] + c2 * tex[6]
+                col_g = c0 * tex[1] + c1 * tex[4] + c2 * tex[7]
+                col_b = c0 * tex[2] + c1 * tex[5] + c2 * tex[8]
             gr_dot = (g_tr * (col_r - out_tr) + g_tg * (col_g - out_tg)
                       + g_tb * (col_b - out_tb))
             wgt_t = d2 * u_t
@@ -558,10 +609,17 @@ def _bwd_kernel(ranges_ref, consts_ref, a1_ref, a2_ref, depth_ref, texr_ref,
             contribs.append((S_Z + 0, dL_dval * c0))
             contribs.append((S_Z + 1, dL_dval * c1))
             contribs.append((S_Z + 2, dL_dval * c2))
-            for ch, dc in [(0, dL_dcol_r), (1, dL_dcol_g), (2, dL_dcol_b)]:
-                contribs.append((S_STEX + 0 + ch, dc * c0))
-                contribs.append((S_STEX + 3 + ch, dc * c1))
-                contribs.append((S_STEX + 6 + ch, dc * c2))
+            if tex_res:
+                for t, sel in enumerate(sels):
+                    contribs.append((S_SURF + 3 * t + 0, dL_dcol_r * sel))
+                    contribs.append((S_SURF + 3 * t + 1, dL_dcol_g * sel))
+                    contribs.append((S_SURF + 3 * t + 2, dL_dcol_b * sel))
+            else:
+                for ch, dc in [(0, dL_dcol_r), (1, dL_dcol_g),
+                               (2, dL_dcol_b)]:
+                    contribs.append((S_STEX + 0 + ch, dc * c0))
+                    contribs.append((S_STEX + 3 + ch, dc * c1))
+                    contribs.append((S_STEX + 6 + ch, dc * c2))
 
             # reduce over pixels, assemble the (FF, K) slot matrix in one
             # shot (static layout -> a single concatenated write, no
@@ -573,8 +631,9 @@ def _bwd_kernel(ranges_ref, consts_ref, a1_ref, a2_ref, depth_ref, texr_ref,
                 red = jnp.sum(jnp.sum(vals, axis=2, keepdims=True), axis=1)
                 slot_vals[slot] = slot_vals.get(slot, 0.0) + red
             zero_col = jnp.zeros((FF, 1), jnp.float32)
+            k_tot = grad_ref.shape[-1]
             assembled = jnp.concatenate(
-                [slot_vals.get(j, zero_col) for j in range(K)], axis=1)
+                [slot_vals.get(j, zero_col) for j in range(k_tot)], axis=1)
             grad_ref[0, pl.ds(ci * FF, FF), :] += assembled
             return 0
 
@@ -591,11 +650,11 @@ def _bwd_kernel(ranges_ref, consts_ref, a1_ref, a2_ref, depth_ref, texr_ref,
 # pallas_call wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _grid_and_specs(b, f_pad, image_size):
+def _grid_and_specs(b, f_pad, image_size, k_tot=K):
     s = image_size
     tc = min(TC, s)
     grid = (b, s // TR, s // tc)
-    consts_spec = pl.BlockSpec((1, f_pad, K),
+    consts_spec = pl.BlockSpec((1, f_pad, k_tot),
                                lambda bi, pr, pc, *_: (bi, 0, 0),
                                memory_space=pltpu.VMEM)
     pix_spec = pl.BlockSpec((1, TR, tc), lambda bi, pr, pc, *_: (bi, pr, pc),
@@ -605,18 +664,20 @@ def _grid_and_specs(b, f_pad, image_size):
 
 @functools.partial(jax.jit, static_argnames=(
     "image_size", "sigma1", "sigma2", "gamma_d", "gamma_t", "near", "far",
-    "bg_eps", "z_offset", "interpret"))
+    "bg_eps", "z_offset", "interpret", "tex_res"))
 def _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
-              near, far, bg_eps, z_offset, interpret=False):
-    b, f_pad, _ = consts.shape
-    grid, consts_spec, pix_spec, tc = _grid_and_specs(b, f_pad, image_size)
+              near, far, bg_eps, z_offset, interpret=False, tex_res=0):
+    b, f_pad, k_tot = consts.shape
+    grid, consts_spec, pix_spec, tc = _grid_and_specs(b, f_pad, image_size,
+                                                      k_tot)
     s = image_size
     ranges = compute_row_ranges(consts, s, math.sqrt(sigma2 * C.DIST_CUT))
     n_out = 13
     kernel = functools.partial(
         _fwd_kernel, image_size=s, n_chunks=f_pad // FF,
         sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d, gamma_t=gamma_t,
-        near=near, far=far, bg_eps=bg_eps, z_offset=z_offset)
+        near=near, far=far, bg_eps=bg_eps, z_offset=z_offset,
+        tex_res=tex_res)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -636,18 +697,21 @@ def _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
 
 @functools.partial(jax.jit, static_argnames=(
     "image_size", "sigma1", "sigma2", "gamma_d", "gamma_t", "near", "far",
-    "bg_eps", "z_offset", "interpret"))
+    "bg_eps", "z_offset", "interpret", "tex_res"))
 def _bwd_call(consts, fwd_out, grads, image_size, sigma1, sigma2,
-              gamma_d, gamma_t, near, far, bg_eps, z_offset, interpret=False):
-    b, f_pad, _ = consts.shape
-    grid, consts_spec, pix_spec, tc = _grid_and_specs(b, f_pad, image_size)
+              gamma_d, gamma_t, near, far, bg_eps, z_offset, interpret=False,
+              tex_res=0):
+    b, f_pad, k_tot = consts.shape
+    grid, consts_spec, pix_spec, tc = _grid_and_specs(b, f_pad, image_size,
+                                                      k_tot)
     ranges = compute_row_ranges(consts, image_size,
                                 math.sqrt(sigma2 * C.DIST_CUT))
     kernel = functools.partial(
         _bwd_kernel, image_size=image_size, n_chunks=f_pad // FF,
         sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d, gamma_t=gamma_t,
-        near=near, far=far, bg_eps=bg_eps, z_offset=z_offset)
-    grad_spec = pl.BlockSpec((1, f_pad, K),
+        near=near, far=far, bg_eps=bg_eps, z_offset=z_offset,
+        tex_res=tex_res)
+    grad_spec = pl.BlockSpec((1, f_pad, k_tot),
                              lambda bi, pr, pc, *_: (bi, 0, 0),
                              memory_space=pltpu.VMEM)
     residual_names = ["alpha1", "alpha2", "depth", "texr", "texg", "texb",
@@ -664,26 +728,26 @@ def _bwd_call(consts, fwd_out, grads, image_size, sigma1, sigma2,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, f_pad, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, f_pad, k_tot), jnp.float32),
         interpret=interpret,
     )(*inputs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8,
-                                                    9, 10))
+                                                    9, 10, 11))
 def raster_fused_core(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
-                      near, far, bg_eps, z_offset, interpret):
+                      near, far, bg_eps, z_offset, interpret, tex_res=0):
     out = _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
-                    near, far, bg_eps, z_offset, interpret)
+                    near, far, bg_eps, z_offset, interpret, tex_res)
     return {k: out[k] for k in ("alpha1", "alpha2", "depth",
                                 "texr", "texg", "texb",
                                 "matr", "matg", "matb")}
 
 
 def _core_fwd(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
-              near, far, bg_eps, z_offset, interpret):
+              near, far, bg_eps, z_offset, interpret, tex_res=0):
     out = _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
-                    near, far, bg_eps, z_offset, interpret)
+                    near, far, bg_eps, z_offset, interpret, tex_res)
     public = {k: out[k] for k in ("alpha1", "alpha2", "depth",
                                   "texr", "texg", "texb",
                                   "matr", "matg", "matb")}
@@ -691,14 +755,14 @@ def _core_fwd(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
 
 
 def _core_bwd(image_size, sigma1, sigma2, gamma_d, gamma_t, near, far,
-              bg_eps, z_offset, interpret, res, g):
+              bg_eps, z_offset, interpret, tex_res, res, g):
     consts, fwd_out = res
     grads = {"alpha1": g["alpha1"], "alpha2": g["alpha2"], "depth": g["depth"],
              "texr": g["texr"], "texg": g["texg"], "texb": g["texb"]}
     grads = {k: jnp.asarray(v, jnp.float32) for k, v in grads.items()}
     dconsts = _bwd_call(consts, fwd_out, grads, image_size, sigma1, sigma2,
                         gamma_d, gamma_t, near, far, bg_eps, z_offset,
-                        interpret)
+                        interpret, tex_res)
     return (dconsts,)
 
 

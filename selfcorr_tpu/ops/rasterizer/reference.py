@@ -106,7 +106,8 @@ def rasterize_dense(
 
 
 @partial(jax.jit, static_argnames=("image_size",))
-def render_fused_dense(face_verts, soft_tex, hard_tex, image_size: int):
+def render_fused_dense(face_verts, soft_tex, hard_tex, image_size: int,
+                       surf_tex=None):
     """Dense version of the fused training render (ground truth for Pallas).
 
     Returns dict with:
@@ -116,15 +117,18 @@ def render_fused_dense(face_verts, soft_tex, hard_tex, image_size: int):
       tex    (B,S,S,3) softmax(gamma=1e-2) rgb with sigma=1e-3, white bg
       match  (B,S,S,3) hard rgb of hard_tex (no gradients)
     face_verts are rasterizer-space; camera z = z - EYE_OFFSET.
+    surf_tex (B,F,R^2,3) switches the tex pass to 'surface' texel grids.
     """
     zcam_tex = jnp.broadcast_to(
         (face_verts[..., 2] - C.EYE_OFFSET)[..., None], face_verts.shape[:3] + (3,))
     mask_out = rasterize_dense(face_verts, zcam_tex, image_size,
                                sigma=1e-4, gamma=1e-4, rgb_mode="softmax",
                                bg_color=(1.0, 1.0, 1.0))
-    tex_out = rasterize_dense(face_verts, soft_tex, image_size,
-                              sigma=1e-3, gamma=1e-2, rgb_mode="softmax",
-                              bg_color=(1.0, 1.0, 1.0))
+    tex_out = rasterize_dense(
+        face_verts, soft_tex if surf_tex is None else surf_tex, image_size,
+        sigma=1e-3, gamma=1e-2, rgb_mode="softmax",
+        bg_color=(1.0, 1.0, 1.0),
+        texture_type="vertex" if surf_tex is None else "surface")
     match_out = rasterize_dense(jax.lax.stop_gradient(face_verts),
                                 jax.lax.stop_gradient(hard_tex), image_size,
                                 sigma=1e-4, gamma=1e-3, rgb_mode="hard",

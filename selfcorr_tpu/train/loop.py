@@ -32,7 +32,8 @@ def make_train_dataset(cfg: Config, num_shards: int):
         return Wild6DTrain(cfg, num_shards=num_shards, seed=cfg.seed)
     if cfg.dataset_name == "synthetic":
         from selfcorr_tpu.data.synthetic import SyntheticTrain
-        return SyntheticTrain(cfg, num_shards=num_shards, seed=cfg.seed)
+        return SyntheticTrain(cfg, num_shards=num_shards, seed=cfg.seed,
+                              shape=cfg.synthetic_shape)
     if cfg.dataset_name == "nocs":
         from selfcorr_tpu.data.nocs import NOCSTrain
         return NOCSTrain(cfg, num_shards=num_shards, seed=cfg.seed)
@@ -45,6 +46,7 @@ def make_train_dataset(cfg: Config, num_shards: int):
 class Trainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        self.last_imgs_per_sec = None  # steady-state loop throughput
         self.run_dir = os.path.join(cfg.checkpoint_dir, cfg.name)
         os.makedirs(self.run_dir, exist_ok=True)
         write_config_snapshot(self.run_dir, cfg)
@@ -73,13 +75,22 @@ class Trainer:
         else:
             self.step_fn = make_train_step(cfg, self.constants, self.tx)
 
+    def _upload(self, batch):
+        """Host batch -> device (sharded over the mesh when present).
+        device_put is asynchronous: issuing it right after dispatching the
+        step overlaps the next batch's H2D transfer with the running step."""
+        if self.mesh is not None:
+            return shard_batch(self.mesh, batch)
+        return jax.device_put(batch)
+
     def train(self):
         cfg = self.cfg
         dataset = make_train_dataset(cfg, self.n_dev)
         # NOTE: uploading from the producer thread (TrainLoader's
         # device_put_fn) measures SLOWER on the tunneled TPU transport —
-        # cross-thread device_put contends with step dispatch; keep transfers
-        # on the main thread (the jit call moves host batches itself)
+        # cross-thread device_put contends with step dispatch; instead the
+        # MAIN thread uploads batch i+1 immediately after dispatching step i
+        # (double buffering), so the transfer rides the running step.
         loader = TrainLoader(dataset, cfg,
                              use_processes=cfg.loader_processes)
         key = jax.random.PRNGKey(cfg.seed + 1)
@@ -88,14 +99,21 @@ class Trainer:
 
         t0 = time.time()
         metrics = None
-        for i, batch in enumerate(loader):
+        it = iter(loader)
+        host0 = next(it, None)
+        nxt = self._upload(host0) if host0 is not None else None
+        i = 0
+        while nxt is not None:
+            batch, nxt = nxt, None
             step_idx = self.start_step + i
+            i += 1
             if step_idx >= cfg.total_iters:
                 break
-            if self.mesh is not None:
-                batch = shard_batch(self.mesh, batch)
             step_key = jax.random.fold_in(key, step_idx)
             self.state, metrics = self.step_fn(self.state, batch, step_key)
+            host_nxt = next(it, None)
+            if host_nxt is not None:
+                nxt = self._upload(host_nxt)
 
             # scalar fetches over the TPU transport are expensive (~tens of
             # ms each); log every batch_log_interval steps with ONE stacked
@@ -106,6 +124,10 @@ class Trainer:
                 vals = dict(zip(names, packed))
                 log_metrics(self.writer, vals, step_idx)
                 dt = (time.time() - t0) / cfg.batch_log_interval
+                # steady-state end-to-end throughput (excludes the compile
+                # interval): consumed by bench.py
+                if i > cfg.batch_log_interval:
+                    self.last_imgs_per_sec = batch["img"].shape[0] / dt
                 print(f"iter {step_idx + 1}/{cfg.total_iters} "
                       f"loss {vals['total_loss']:.4f} "
                       f"{dt * 1000:.0f} ms/iter "
@@ -132,54 +154,95 @@ class Trainer:
         print(f"saved checkpoint at step {step}")
 
     def _log_images(self, batch, step: int):
-        """TensorBoard image panels (trainer.py:175-198 counterpart):
-        input, mask, depth, canonical-coordinate match, rendered mask/tex/
-        depth, imatch overlay — computed with an eval forward + one fused
-        render on the first sample."""
+        """TensorBoard image panels — the reference's full channel set
+        (trainer.py:175-198): img, mask, depth_render, depth_mean_v_render,
+        depth_gt, depth_diff_render, match, match_gt, texture_render,
+        imatch, imatch_gt, depthw, cycle_match(+gt), pt_src/tgt/pred,
+        pt_img_src/tgt, plus our mask_render."""
         try:
             import jax.numpy as jnp
-            from selfcorr_tpu.models.meshnet import (forward_test,
-                                                     render_products)
+            from selfcorr_tpu.models.meshnet import forward_vis
             from selfcorr_tpu.utils import vis as V
 
             cfg = self.cfg
-            sub = {k: jnp.asarray(np.asarray(batch[k])[:1]) for k in
+            # first two frames of the first video (pairing contract is
+            # video-major, frame-minor) for the pairwise panels
+            sub = {k: jnp.asarray(np.asarray(batch[k])[:2]) for k in
                    ("img", "mask", "depth", "occ", "pp_crop", "foc_crop")}
             params = jax.tree_util.tree_map(np.asarray, self.state.params)
             params = {"net": params["net"],
                       "mean_v": jnp.asarray(params["mean_v"])}
             bs = jax.tree_util.tree_map(np.asarray, self.state.batch_stats)
-            pred = forward_test(params, bs, sub, self.constants,
-                                jax.random.PRNGKey(step), cfg)
-            r = render_products(
-                pred["pred_v"], jnp.asarray(self.constants.faces),
-                pred["tex"], sub["foc_crop"], sub["pp_crop"],
-                pred["rotation"], pred["translation"], cfg,
-                use_pallas=jax.default_backend() != "cpu")
+            dp = jax.tree_util.tree_map(np.asarray, self.state.dino_params)
+            v = forward_vis(params, bs, dp, sub, self.constants,
+                            jax.random.PRNGKey(step), cfg,
+                            use_pallas=jax.default_backend() != "cpu")
+            v = {k: np.asarray(x) for k, x in v.items() if x is not None
+                 and not isinstance(x, dict)}
 
-            def addim(tag, img_hwc):
-                self.writer.add_image(tag, np.asarray(img_hwc), step,
-                                      dataformats="HWC")
+            def addim(tag, img_bgr_or_rgb, bgr=True):
+                im = np.asarray(img_bgr_or_rgb)
+                if bgr:
+                    im = im[:, :, ::-1]
+                self.writer.add_image(tag, im, step, dataformats="HWC")
 
             img0 = np.asarray(sub["img"][0])
+            img1 = np.asarray(sub["img"][1])
             mask0 = np.asarray(sub["mask"][0])
-            addim("vis/img", V.to_u8(img0))
-            addim("vis/mask", V.draw_mask(mask0)[:, :, ::-1])
-            addim("vis/match", V.draw_match(
-                img0, np.asarray(pred["match"][0]), mask0)[:, :, ::-1])
-            addim("vis/imatch", V.draw_imatch(
-                img0, np.asarray(pred["imatch"][0]),
-                np.asarray(pred["pred_v"][0]))[:, :, ::-1])
-            addim("vis/mask_render", V.draw_mask(
-                np.asarray(r["mask_render"][0]))[:, :, ::-1])
-            addim("vis/texture_render", V.to_u8(
-                np.asarray(r["tex_render"][0])))
-            addim("vis/depth_render", V.draw_depth(
-                np.asarray(r["depth_render"][0]),
-                np.asarray(r["depth_mask"][0]))[:, :, ::-1])
+            pv = v["pred_v"][0]
+            ranges = (pv.min(0), pv.max(0))  # model.py:159-171 normalization
+
+            addim("vis/img", V.to_u8(img0), bgr=False)
+            addim("vis/mask", V.draw_mask(mask0))
+            addim("vis/match", V.draw_match(img0, v["match"][0], mask0,
+                                            ranges))
+            addim("vis/match_gt", V.draw_match(img0, v["match_gt"][0],
+                                               v["match_mask"][0] > 0.5,
+                                               ranges))
+            addim("vis/texture_render", V.to_u8(v["tex_render"][0]),
+                  bgr=False)
+            addim("vis/mask_render", V.draw_mask(v["mask_render"][0]))
+            addim("vis/depth_render", V.draw_depth(v["depth_render"][0],
+                                                   v["depth_mask"][0]))
+            addim("vis/depth_mean_v_render", V.draw_depth(
+                v["mean_v_depth"][0], v["mean_v_mask"][0]))
             if cfg.use_depth:
                 addim("vis/depth_gt", V.draw_depth(
-                    np.asarray(sub["depth"][0]), mask0)[:, :, ::-1])
+                    np.asarray(sub["depth"][0]), mask0))
+                addim("vis/depth_diff_render",
+                      V.draw_depth_diff(v["depth_diff"][0]))
+
+            # vertex panels, visibility-gated (model.py:186-205)
+            vcol = V.to_u8(V.colorize_canonical(pv))
+            dw = v["depth_weight"][0]
+            s = cfg.img_size
+            addim("vis/imatch", V.draw_point_set(v["imatch"][0], vcol, dw, s))
+            addim("vis/imatch_gt", V.draw_point_set(v["imatch_gt"][0], vcol,
+                                                    dw, s))
+            gray = np.repeat((dw[:, None] * 255).astype(np.uint8), 3, 1)
+            addim("vis/depthw", V.draw_point_set(v["imatch_gt"][0], gray,
+                                                 None, s, base=img0,
+                                                 blend=1.0))
+
+            # rotation-cycle panels (model.py:241-260)
+            ccol = V.grid_point_colors(v["cycle_match_gt"][0])
+            cm = v["cycle_mask"][0]
+            addim("vis/cycle_match", V.draw_point_set(v["cycle_match"][0],
+                                                      ccol, cm, s))
+            addim("vis/cycle_match_gt", V.draw_point_set(
+                v["cycle_match_gt"][0], ccol, cm, s))
+
+            # frozen-DINO pair panels (model.py:267-290)
+            pcol = V.grid_point_colors(v["pt_pts_tgt"][0])
+            pm = v["pt_mask"][0]
+            addim("vis/pt_img_src", V.to_u8(img0), bgr=False)
+            addim("vis/pt_img_tgt", V.to_u8(img1), bgr=False)
+            addim("vis/pt_src", V.draw_point_set(v["pt_pts_src"][0], pcol,
+                                                 pm, s, base=img0, blend=0.3))
+            addim("vis/pt_tgt", V.draw_point_set(v["pt_pts_tgt"][0], pcol,
+                                                 pm, s, base=img1, blend=0.3))
+            addim("vis/pt_pred", V.draw_point_set(v["pt_match"][0], pcol,
+                                                  pm, s))
 
             # export the current mean shape (trainer vis exports the mean
             # mesh OBJ each vis_freq, model.py:228-236)

@@ -109,7 +109,14 @@ def train_step_sharded(state: TrainState, batch, rng,
     (loss, (aux, new_bs)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
 
-    grads = jax.lax.pmean(grads, axis)
+    # NOTE: the cotangent of a replicated (P()) shard_map input is typed
+    # 'unreduced' (a lazy psum) in current jax: pmean on it MATERIALIZES
+    # the cross-shard SUM, and psum would double-count. Divide by the axis
+    # size explicitly to get the DDP-mean gradient (trainer.py:66-78
+    # semantics). Pinned by test_single_vs_multi_device_equivalence.
+    n_shards = jax.lax.axis_size(axis)
+    grads = jax.tree_util.tree_map(
+        lambda g: jax.lax.pmean(g, axis) / n_shards, grads)
     aux = jax.lax.pmean(aux, axis)
     new_bs = jax.lax.pmean(new_bs, axis)
 

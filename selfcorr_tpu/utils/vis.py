@@ -51,20 +51,25 @@ def draw_bbox3d(img01: np.ndarray, bbox9_cam: np.ndarray, pp, foc,
     return out
 
 
-def colorize_canonical(coords: np.ndarray) -> np.ndarray:
+def colorize_canonical(coords: np.ndarray, ranges=None) -> np.ndarray:
     """Canonical xyz -> rgb in [0,1] by min-max normalization per axis
-    (model.py:165-186 convention)."""
+    (model.py:165-186 convention). `ranges` = (lo, hi) normalizes with an
+    external box (the reference uses pred_v's extents for match/match_gt)."""
     c = np.asarray(coords, np.float64)
-    flat = c.reshape(-1, 3)
-    lo = flat.min(0)
-    hi = flat.max(0)
-    return ((c - lo) / np.maximum(hi - lo, 1e-9)).astype(np.float32)
+    if ranges is None:
+        flat = c.reshape(-1, 3)
+        lo = flat.min(0)
+        hi = flat.max(0)
+    else:
+        lo, hi = np.asarray(ranges[0]), np.asarray(ranges[1])
+    out = (c - lo) / np.maximum(hi - lo, 1e-9)
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
 
 
-def draw_match(img01: np.ndarray, match: np.ndarray, mask: np.ndarray
-               ) -> np.ndarray:
+def draw_match(img01: np.ndarray, match: np.ndarray, mask: np.ndarray,
+               ranges=None) -> np.ndarray:
     """Per-pixel canonical-coordinate visualization masked to the object."""
-    rgb = colorize_canonical(match)
+    rgb = colorize_canonical(match, ranges)
     over = np.where(mask[..., None] > 0, rgb, img01 * 0.3)
     return _to_bgr(over)
 
@@ -101,6 +106,48 @@ def draw_depth(depth: np.ndarray, mask: np.ndarray | None = None
 
 def draw_mask(mask: np.ndarray) -> np.ndarray:
     return to_u8(np.repeat(np.asarray(mask)[..., None], 3, -1))
+
+
+def draw_point_set(points: np.ndarray, colors_u8: np.ndarray,
+                   weights: np.ndarray | None = None, size: int = 256,
+                   base: np.ndarray | None = None, blend: float = 0.0
+                   ) -> np.ndarray:
+    """Circles at NDC points on a white canvas (or `base` image blended in
+    with `blend`), RGB colors per point, skipping weight < 0.5 entries —
+    the reference's point-panel style (model.py:186-205, 241-260, 267-290).
+    """
+    canvas = np.full((size, size, 3), 255.0)
+    if base is not None:
+        canvas = (1.0 - blend) * canvas + blend * to_u8(base).astype(float)
+    canvas = canvas.astype(np.uint8)[:, :, ::-1].copy()  # BGR
+    pts = ((np.asarray(points) + 1.0) * (size / 2.0)).astype(int)
+    for i, (x, y) in enumerate(pts):
+        if weights is not None and weights[i] < 0.5:
+            continue
+        c = colors_u8[i]
+        cv2.circle(canvas, (int(x), int(y)), 3,
+                   (int(c[2]), int(c[1]), int(c[0])), -1)
+    return canvas
+
+
+def grid_point_colors(points_ndc: np.ndarray) -> np.ndarray:
+    """Reference coloring of cycle/DINO point panels: (x, y) -> (g, r)
+    channels at 127*v+128 (model.py:252-255, 278-280)."""
+    p = np.asarray(points_ndc)
+    r = np.clip(p[:, 0] * 127 + 128, 0, 255)
+    g = np.clip(p[:, 1] * 127 + 128, 0, 255)
+    return np.stack([r, g, np.zeros_like(r)], -1).astype(np.uint8)
+
+
+def draw_depth_diff(depth_diff: np.ndarray) -> np.ndarray:
+    """Signed depth error: red where the estimate is too near
+    (diff < 0), green where too far (model.py:208-214)."""
+    d = np.asarray(depth_diff, np.float64)
+    scale = max(np.abs(d).max(), 1e-9)
+    red = np.clip(-d / scale, 0, 1)
+    green = np.clip(d / scale, 0, 1)
+    rgb = np.stack([red, green, np.zeros_like(d)], -1)
+    return _to_bgr(rgb)
 
 
 def save_visualizations(out_dir: str, tag: str, batch, pred, fit, index: int,

@@ -8,10 +8,11 @@ import scipy.io as sio
 from selfcorr_tpu.configs import Config
 
 
-def make_cub_tree(root, n_classes=2, per_class=3, hw=(60, 80)):
+def make_cub_tree(root, n_classes=2, per_class=3, hw=(60, 80),
+                  split="train"):
     h, w = hw
     rng = np.random.RandomState(0)
-    os.makedirs(os.path.join(root, "images"))
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
     class_lines = []
     entries = []
     for c in range(n_classes):
@@ -40,21 +41,22 @@ def make_cub_tree(root, n_classes=2, per_class=3, hw=(60, 80)):
                                      ("y2", "O")])
         bbox[0] = (21, 11, 59, 49)
         images[i] = (rel, mask, parts, bbox)
-    os.makedirs(os.path.join(root, "data"))
-    sio.savemat(os.path.join(root, "data", "train_cub_cleaned.mat"),
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    sio.savemat(os.path.join(root, "data", f"{split}_cub_cleaned.mat"),
                 {"images": images})
 
     sfm = np.zeros((len(entries),), dtype=[
         ("scale", "O"), ("trans", "O"), ("rot", "O")])
     for i in range(len(entries)):
         sfm[i] = (np.float64(50.0), np.array([30.0, 30.0]), np.eye(3))
-    os.makedirs(os.path.join(root, "sfm"))
-    sio.savemat(os.path.join(root, "sfm", "anno_train.mat"),
+    os.makedirs(os.path.join(root, "sfm"), exist_ok=True)
+    sio.savemat(os.path.join(root, "sfm", f"anno_{split}.mat"),
                 {"sfm_anno": sfm})
 
-    list_file = os.path.join(os.path.dirname(root), "cub_train_list.txt")
+    list_file = os.path.join(os.path.dirname(root),
+                             f"cub_{split}_list.txt")
     with open(list_file, "w") as f:
-        f.write("0\n1")
+        f.write(" ".join(str(c) for c in range(n_classes)))
     return list_file
 
 
@@ -78,3 +80,39 @@ def test_cub_train(tmp_path):
     assert np.isfinite(item["foc_crop"]).all()
     plan = ds.sample_plan(0)
     assert len(plan) == 4
+
+
+def test_cub_eval_end_to_end(tmp_path):
+    """Full Tester pass on a fake CUB tree: mask mIoU + KP-transfer PCK
+    must come out finite, and — reference parity — the pose fit must hit
+    the DEFAULT fallback pose on every sample because CUB has no depth
+    (tester.py:370-379 degenerates on the empty point set; eval_cub still
+    renders the mask from that fallback, tester.py:233-241)."""
+    import jax
+    root = str(tmp_path / "cub")
+    os.makedirs(root)
+    list_file = make_cub_tree(root, n_classes=2, per_class=4, split="test")
+    cfg = Config(dataset_name="cub", test_dataset_path=root,
+                 test_list=list_file, img_size=32, corr_h=8, corr_w=8,
+                 subdivide=1, batch_size=4, repeat=1, num_workers=2,
+                 n_corr_feat=16, codedim=8, pretrain_k=8, use_pallas=False,
+                 train=False, eval=True, eval_cub=True, shuffle_test=True,
+                 dframe_eval=1, pose_fit_max_points=256,
+                 depth_offset=5.0, checkpoint_dir=str(tmp_path), name="cubev")
+    from selfcorr_tpu.eval.tester import Tester
+    tester = Tester(cfg)
+
+    # pin the fallback-pose parity on one batch before the full run
+    from selfcorr_tpu.data.loader import TestLoader
+    from selfcorr_tpu.eval.tester import make_test_dataset
+    loader_batch = next(iter(TestLoader(make_test_dataset(cfg), cfg)))
+    _, fit = tester.predict_batch(loader_batch, jax.random.PRNGKey(0))
+    assert not np.asarray(fit["ok"]).any()  # no depth -> every fit fails
+    np.testing.assert_allclose(np.asarray(fit["scale_fit"]).ravel(), 0.1)
+    np.testing.assert_allclose(np.asarray(fit["translation"])[:, 0, 2], 0.5)
+
+    results = tester.test()
+    assert "mIoU" in results and np.isfinite(results["mIoU"])
+    assert 0.0 <= results["mIoU"] <= 1.0
+    for k in ("kp@0.1", "kp@0.2"):
+        assert k in results and np.isfinite(results[k])

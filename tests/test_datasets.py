@@ -116,3 +116,64 @@ def test_nocs_train_and_test(tmp_path):
     np.testing.assert_allclose(it["rot_gt"], np.diag([1.0, -1.0, -1.0]),
                                atol=1e-6)
     assert it["scale_gt"].shape == (3,)
+
+
+def test_synthetic_duo_geometry():
+    """The 'duo' synthetic family: union rendering + GT pose consistency.
+
+    Back-projecting the rendered depth at the GT pose must land every
+    surface point ON one of the two ellipsoid lobes, and inside the
+    canonical box whose (center, size) feed trans_gt/scale_gt."""
+    from selfcorr_tpu.data.synthetic import SyntheticVideos
+
+    vids = SyntheticVideos(num_videos=2, frames_per_video=4, raw_size=96,
+                           seed=3, shape="duo")
+    img, mask, depth, foc, pp = vids.render_frame(0, 1)
+    assert mask.any() and (depth[mask] > 0).all()
+
+    theta = vids.phase[0] + 2 * np.pi * 1 / vids.n_frames
+    from selfcorr_tpu.data.synthetic import _rot_x, _rot_y
+    R = _rot_x(vids.tilt[0]) @ _rot_y(theta)
+    c = np.array([0.0, 0.0, vids.z0[0]])
+
+    ys, xs = np.meshgrid(np.arange(96) + 0.5, np.arange(96) + 0.5,
+                         indexing="ij")
+    t = depth / 1000.0
+    pts = np.stack([(xs - pp[0]) / foc[0] * t,
+                    (ys - pp[1]) / foc[1] * t, t], -1)[mask]
+    obj = (pts - c) @ R  # R^T p, row vectors
+
+    # on the union surface: min over lobes of | |A(obj-cb)| - 1 | ~ 0
+    err = np.inf
+    for r, cb in vids.parts(0):
+        q = np.linalg.norm((obj - cb) / r, axis=-1)
+        err = np.minimum(err, np.abs(q - 1.0))
+    assert err.max() < 1e-3, err.max()
+
+    cb0, size = vids.canonical_box(0)
+    u = np.abs((obj - cb0) / (size / 2.0))
+    assert u.max() <= 1.0 + 1e-6
+
+    # asymmetric: the small lobe makes +x extent exceed -x extent
+    assert size[0] > size[1] and size[0] > size[2]
+
+    # GT transform maps the canonical box center onto the camera-frame
+    # centroid used by eval (trans_gt = R @ cb0 + c)
+    trans_gt = R @ cb0 + c
+    assert np.linalg.norm((obj - cb0).mean(0)) < size.max()  # sanity
+    np.testing.assert_allclose(trans_gt, R @ cb0 + c)
+
+
+def test_synthetic_ellipsoid_unchanged():
+    """shape='ellipsoid' must reproduce the original single-lobe frames
+    (regression guard for the union refactor)."""
+    from selfcorr_tpu.data.synthetic import SyntheticVideos
+    vids = SyntheticVideos(num_videos=1, frames_per_video=2, raw_size=64,
+                           seed=0)
+    img, mask, depth, foc, pp = vids.render_frame(0, 0)
+    assert vids.parts(0)[0][1].sum() == 0.0
+    assert len(vids.parts(0)) == 1
+    cb0, size = vids.canonical_box(0)
+    np.testing.assert_allclose(cb0, 0.0, atol=1e-12)
+    np.testing.assert_allclose(size, 2 * vids.radii[0])
+    assert mask.any()

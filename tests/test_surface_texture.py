@@ -46,6 +46,75 @@ def test_sample_surface_texture_cells():
     np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(tex[0, 0, 1]))
 
 
+def _surface_scene(seed=0, b=2, n_faces=5, res=3):
+    from tests.test_raster_pallas import make_scene
+    fv, st, ht = make_scene(seed=seed, b=b, n_faces=n_faces)
+    rng = np.random.RandomState(seed + 100)
+    surf = jnp.asarray(rng.rand(b, n_faces, res * res, 3).astype(np.float32))
+    return fv, st, ht, surf
+
+
+def test_fused_surface_matches_dense():
+    """Pallas surface-texture mode vs the dense 'surface' reference."""
+    from selfcorr_tpu.ops.rasterizer import render_fused
+    fv, st, ht, surf = _surface_scene()
+    dense = render_fused(fv, st, ht, 16, backend="dense", surf_tex=surf)
+    pallas = render_fused(fv, st, ht, 16, backend="pallas", interpret=True,
+                          surf_tex=surf)
+    for k in ("alpha1", "alpha2", "depth", "tex", "match"):
+        np.testing.assert_allclose(np.asarray(pallas[k]),
+                                   np.asarray(dense[k]),
+                                   atol=2e-2 if k == "depth" else 2e-3,
+                                   err_msg=k)
+
+
+def test_fused_surface_gradients_match_dense():
+    import jax
+    from selfcorr_tpu.ops.rasterizer import render_fused
+    from tests.test_raster_pallas import _loss
+    fv, st, ht, surf = _surface_scene(seed=2, b=1, n_faces=4, res=2)
+
+    def loss_fn(backend):
+        def f(fv_, surf_):
+            out = render_fused(fv_, st, ht, 16, backend=backend,
+                               interpret=True, surf_tex=surf_)
+            return _loss(out)
+        return f
+
+    g_dense = jax.grad(loss_fn("dense"), argnums=(0, 1))(fv, surf)
+    g_pallas = jax.grad(loss_fn("pallas"), argnums=(0, 1))(fv, surf)
+    for gd, gp, name in [(g_dense[0], g_pallas[0], "verts"),
+                         (g_dense[1], g_pallas[1], "surf_tex")]:
+        gd, gp = np.asarray(gd), np.asarray(gp)
+        assert np.isfinite(gp).all(), name
+        scale = np.abs(gd).max() + 1e-8
+        np.testing.assert_allclose(gp / scale, gd / scale, atol=5e-3,
+                                   err_msg=name)
+    # texels actually receive gradient
+    assert np.abs(np.asarray(g_pallas[1])).max() > 0
+
+
+def test_train_step_with_surface_texture():
+    """surface_texture=True trains end-to-end on both backends."""
+    import jax
+    from selfcorr_tpu.models.meshnet import build_mesh_constants
+    from selfcorr_tpu.train.optim import make_optimizer
+    from selfcorr_tpu.train.step import init_state, make_train_step
+    from tests.test_train_step import tiny_cfg, synthetic_batch
+
+    for use_pallas in (False, True):
+        cfg = tiny_cfg(surface_texture=True, n_tex_sample=2,
+                       use_pallas=use_pallas)
+        constants = build_mesh_constants(cfg)
+        state = init_state(cfg, constants, jax.random.PRNGKey(0))
+        tx = make_optimizer(cfg, state.params)
+        step_fn = make_train_step(cfg, constants, tx, donate=False)
+        new_state, metrics = step_fn(state, synthetic_batch(cfg),
+                                     jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["total_loss"])), use_pallas
+        assert float(metrics["bad_grad"]) == 0.0, use_pallas
+
+
 def test_dense_raster_surface_mode():
     fv = jnp.asarray(np.array(
         [[[[-0.9, -0.9, 5.0], [0.9, -0.9, 5.0], [0.0, 0.9, 5.0]]]],
