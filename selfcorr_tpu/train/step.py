@@ -56,9 +56,41 @@ def init_state(cfg: Config, constants: MeshConstants, rng) -> TrainState:
     )
 
 
+def compress_batch_host(batch):
+    """Host-side: pack the train batch into compact dtypes for upload
+    (u8 img/mask/occ, u16 depth-mm) — ~3.4x less H2D traffic than f32.
+    Depth crops are nearest-resampled integral millimetres (crops.py:82),
+    so u16 is exact for real datasets; img quantization (<0.4%) is far
+    below the ColorJitter augmentation noise."""
+    out = dict(batch)
+    out["img"] = np.clip(np.asarray(batch["img"]) * 255.0 + 0.5,
+                         0, 255).astype(np.uint8)
+    out["mask"] = (np.asarray(batch["mask"]) > 0).astype(np.uint8)
+    out["occ"] = (np.asarray(batch["occ"]) > 0).astype(np.uint8)
+    out["depth"] = np.clip(np.asarray(batch["depth"]),
+                           0, 65535).astype(np.uint16)
+    return out
+
+
+def decompress_batch(batch):
+    """In-graph inverse of compress_batch_host (no-op on f32 batches)."""
+    out = dict(batch)
+    if batch["img"].dtype == jnp.uint8:
+        out["img"] = batch["img"].astype(jnp.float32) / 255.0
+    if batch["mask"].dtype != jnp.float32:
+        out["mask"] = batch["mask"].astype(jnp.float32)
+    if batch["occ"].dtype != jnp.float32:
+        out["occ"] = batch["occ"].astype(jnp.float32)
+    if batch["depth"].dtype != jnp.float32:
+        out["depth"] = batch["depth"].astype(jnp.float32)
+    return out
+
+
 def train_step(state: TrainState, batch, rng, constants: MeshConstants,
                cfg: Config, tx: optax.GradientTransformation):
     """Pure step function; jit with donate_argnums=0 via make_train_step."""
+    batch = decompress_batch(batch)
+
     def loss_fn(params):
         return forward_train(params, state.batch_stats, state.dino_params,
                              batch, constants, rng, cfg, state.step)
@@ -100,6 +132,7 @@ def train_step_sharded(state: TrainState, batch, rng,
     shard draws its own augmentation, like per-process torch RNG.
     """
     axis = "data"
+    batch = decompress_batch(batch)
     local_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
     def loss_fn(params):
