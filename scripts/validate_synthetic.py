@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--img_size", type=int, default=256)
     ap.add_argument("--name", type=str, default="")
     ap.add_argument("--out_dir", type=str, default="")
+    ap.add_argument("--eval_only", action="store_true",
+                    help="skip training; evaluate out_dir/<name>/ckpt")
+    ap.add_argument("--freeze_prior", action="store_true",
+                    help="prior_deform=False: anchor the canonical frame to "
+                         "the duo prior (identifiable rotations)")
+    ap.add_argument("--iters_eval_stride", type=int, default=2)
     args = ap.parse_args()
 
     if args.platform:
@@ -60,7 +66,9 @@ def main():
     prior_path = os.path.join(run_dir, "duo_prior.obj")
     save_obj(prior_path, *duo_prior_mesh(2))
 
-    name = args.name or ("duo" + ("-" + args.ablate if args.ablate else ""))
+    name = args.name or ("duo"
+                         + ("-frozen" if args.freeze_prior else "")
+                         + ("-" + args.ablate if args.ablate else ""))
     small = args.img_size <= 64
     cfg = Config(
         dataset_name="synthetic", synthetic_shape="duo",
@@ -73,7 +81,8 @@ def main():
         codedim=64 if not small else 8,
         n_corr_feat=64 if not small else 16,
         symmetry_idx=-1,                 # asymmetric shape: no symmetry
-        shape_prior=True, shape_prior_path=prior_path, prior_deform=True,
+        shape_prior=True, shape_prior_path=prior_path,
+        prior_deform=not args.freeze_prior,
         mask_wt=0.15, tex_wt=0.05, depth_wt=0.1, triangle_wt=0.002,
         pullfar_wt=0.01, deform_wt=0.4, symmetry_wt=0.0, camera_wt=0.005,
         match_wt=0.02, imatch_wt=0.02, decay_ratio=0.1,
@@ -87,9 +96,10 @@ def main():
     for key in [k for k in args.ablate.split(",") if k]:
         cfg = cfg.replace(**{ABLATABLE[key]: 0.0})
 
-    from selfcorr_tpu.train.loop import Trainer
-    trainer = Trainer(cfg)
-    trainer.train()
+    if not args.eval_only:
+        from selfcorr_tpu.train.loop import Trainer
+        trainer = Trainer(cfg)
+        trainer.train()
 
     # ---- eval with the full NOCS pipeline against ray-tracer GT ----------
     ckpt_dir = os.path.join(run_dir, name, "ckpt")
@@ -114,7 +124,9 @@ def main():
     finally:
         tester_mod.make_test_dataset = orig
 
-    out = {"name": name, "iters": args.iters, "ablate": args.ablate,
+    iters = args.iters if not args.eval_only else int(
+        np.asarray(tester.state.step))
+    out = {"name": name, "iters": iters, "ablate": args.ablate,
            **{k: round(float(v), 4) for k, v in results.items()}}
     print(json.dumps(out))
     with open(os.path.join(run_dir, f"{name}-results.json"), "w") as f:

@@ -69,6 +69,7 @@ class NocsAccumulator:
         self.symmetry_idx = symmetry_idx
         self.iou_hits = []
         self.degcm_hits = []
+        self.raw = []  # (iou, deg, cm) per sample — diagnostics
 
     def add(self, bbox9_pred: np.ndarray, rot_gt, trans_gt, scale_gt):
         box_pred = Box3D(bbox9_pred)
@@ -77,10 +78,12 @@ class NocsAccumulator:
                                scale_gt)
         self.iou_hits.append([iou >= t for t in self.IOU_THRESH])
         self.degcm_hits.append([(ang < d and cm < c) for d, c in self.DEG_CM])
+        self.raw.append([float(iou), float(ang), float(cm)])
 
     def summary(self):
         iou = np.asarray(self.iou_hits, np.float64)
         dc = np.asarray(self.degcm_hits, np.float64)
+        raw = np.asarray(self.raw, np.float64)
         return {
             "iou@25": iou[:, 0].mean() if len(iou) else 0.0,
             "iou@50": iou[:, 1].mean() if len(iou) else 0.0,
@@ -88,6 +91,10 @@ class NocsAccumulator:
             "5deg5cm": dc[:, 1].mean() if len(dc) else 0.0,
             "10deg2cm": dc[:, 2].mean() if len(dc) else 0.0,
             "10deg5cm": dc[:, 3].mean() if len(dc) else 0.0,
+            # diagnostic medians (not reference channels, aid debugging)
+            "median_iou": float(np.median(raw[:, 0])) if len(raw) else 0.0,
+            "median_deg": float(np.median(raw[:, 1])) if len(raw) else 0.0,
+            "median_cm": float(np.median(raw[:, 2])) if len(raw) else 0.0,
             "count": len(iou),
         }
 
