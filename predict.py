@@ -16,14 +16,14 @@ import numpy as np
 
 
 def main(argv):
-    from selfcorr_tpu.utils.jit_cache import enable as _enable_cache
-    _enable_cache()
     from selfcorr_tpu.configs import parse_args
     cfg = parse_args(argv[1:])
     cfg = cfg.replace(train=False)
     if cfg.platform:
         import jax
         jax.config.update("jax_platforms", cfg.platform)
+    from selfcorr_tpu.utils.jit_cache import enable as _enable_cache
+    _enable_cache()
     np.random.seed(cfg.seed)
 
     from selfcorr_tpu.eval.tester import Tester
