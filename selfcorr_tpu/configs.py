@@ -86,6 +86,12 @@ class Config:
     vert_lr_ratio: float = 0.1
     cam_lr_ratio: float = 0.1
 
+    # pretrained bootstrap (the reference trains from ImageNet resnet18 +
+    # released DINO ViT-S/8 — image_encoder.py:121, dino.py:29,40-44;
+    # scripts/train.sh auto-detects the pretrain/ directory convention)
+    resnet_init_path: str = ""            # torchvision resnet18 .pth
+    dino_init_path: str = ""              # dino_deitsmall8_pretrain.pth
+
     # infra
     train: bool = True
     checkpoint_dir: str = "log"

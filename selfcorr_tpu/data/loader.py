@@ -49,9 +49,19 @@ def _scrubbed_python() -> str:
     the CHILD before its interpreter starts; doing it there (rather than
     mutating the parent's os.environ around spawn) is race-free for any
     concurrent parent thread reading JAX_PLATFORMS.
+
+    NOTE the deliberate PROCESS-GLOBAL side effect: ctx.set_executable()
+    (below) mutates module state in multiprocessing.spawn, not a per-context
+    slot, so every later spawn-based child in this process — including
+    workers the pool respawns lazily after a crash — also execs through the
+    wrapper with JAX_PLATFORMS=cpu. That is exactly what we want here (no
+    child of a trainer process should ever grab the TPU chip); a hypothetical
+    spawn child that DOES need the TPU would have to re-set JAX_PLATFORMS
+    itself. The wrapper file is removed at interpreter exit.
     """
     global _SCRUBBED_PYTHON
     if _SCRUBBED_PYTHON is None:
+        import atexit
         import stat
         import sys
         import tempfile
@@ -63,6 +73,14 @@ def _scrubbed_python() -> str:
                     "export JAX_PLATFORMS=cpu\n"
                     f"exec {sys.executable} \"$@\"\n")
         os.chmod(path, os.stat(path).st_mode | stat.S_IXUSR)
+
+        def _cleanup(p=path):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+        atexit.register(_cleanup)
         _SCRUBBED_PYTHON = path
     return _SCRUBBED_PYTHON
 

@@ -175,6 +175,19 @@ class NOCSTest:
     def __len__(self):
         return len(self.samples)
 
+    def read_original(self, vid: int, fid: int):
+        """Full-resolution frame + instance mask for visualization
+        paste-back (reference tester.py:495-500: masklist pixel == id)."""
+        track = self.tracks[vid]
+        img = cv2.imread(track["imgs"][fid])[:, :, ::-1].astype(
+            np.float32) / 255.0
+        mask_raw = cv2.imread(track["masks"][fid], cv2.IMREAD_GRAYSCALE)
+        mask = (mask_raw == track["metas"][fid]["inst_id"]).astype(np.float32)
+        depth = None
+        if self.cfg.use_depth:
+            depth = cv2.imread(track["depths"][fid], -1).astype(np.float32)
+        return dict(img=img, mask=mask, depth=depth)
+
     def load_item(self, index: int):
         vid, fid = self.samples[index]
         out = _load_frame(self.tracks[vid], fid, self.cfg,

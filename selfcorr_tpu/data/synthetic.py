@@ -169,6 +169,11 @@ class SyntheticTest:
     def __len__(self):
         return len(self.samples)
 
+    def read_original(self, vid: int, fid: int):
+        """Full (uncropped) rendered frame for visualization paste-back."""
+        img, mask, depth, _, _ = self.videos.render_frame(vid, fid)
+        return dict(img=img, mask=mask.astype(np.float32), depth=depth)
+
     def load_item(self, index: int):
         cfg = self.cfg
         vid, fid = self.samples[index]

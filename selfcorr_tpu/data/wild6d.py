@@ -140,6 +140,13 @@ class Wild6DTest:
     def __len__(self):
         return len(self.samples)
 
+    def read_original(self, vid: int, fid: int):
+        """Full-resolution frame for visualization paste-back
+        (reference tester.py:493-497 re-reads dataset.imglist/masklist)."""
+        img, mask, depth, _, _ = self.videos.read_frame(
+            vid, fid, self.cfg.use_depth)
+        return dict(img=img, mask=mask.astype(np.float32), depth=depth)
+
     def load_item(self, index: int):
         cfg = self.cfg
         vid, fid = self.samples[index]

@@ -106,12 +106,27 @@ class Tester:
                 pred_np = {k: np.asarray(v) if v is not None else None
                            for k, v in pred.items()}
                 fit_np = {k: np.asarray(v) for k, v in fit.items()}
+                read_orig = (None if cfg.eval_cub  # ref skips vis for CUB
+                             else getattr(dataset, "read_original", None))
                 for i in range(len(valid)):
-                    if valid[i]:
-                        tag = (f"{int(batch['idx'][i]):03d}_"
-                               f"{int(batch['frame_idx'][i]):03d}")
-                        save_visualizations(out_dir, tag, batch, pred_np,
-                                            fit_np, i, cfg)
+                    if not valid[i]:
+                        continue
+                    tag = (f"{int(batch['idx'][i]):03d}_"
+                           f"{int(batch['frame_idx'][i]):03d}")
+                    orig = renders = None
+                    if read_orig is not None:
+                        try:
+                            orig = read_orig(int(batch["idx"][i]),
+                                             int(batch["frame_idx"][i]))
+                            renders = self._debug_panels(batch, pred_np,
+                                                         fit_np, i, orig)
+                        except Exception as e:  # vis must never kill eval
+                            print(f"[vis] full-frame panels unavailable "
+                                  f"({e}); falling back to crop panels")
+                            orig = renders = None
+                    save_visualizations(out_dir, tag, batch, pred_np,
+                                        fit_np, i, cfg, orig=orig,
+                                        renders=renders)
             if (bi + 1) % 10 == 0:
                 print(f"tested batch {bi + 1}/{len(loader)}")
 
@@ -133,6 +148,83 @@ class Tester:
             print("kp@0.1:", results["kp@0.1"])
             print("kp@0.2:", results["kp@0.2"])
         return results
+
+    def _debug_panels(self, batch, pred, fit, i, orig):
+        """Full-frame depth / hard-texture / mask render panels
+        (reference tester.py:629-688): the FITTED mesh re-rendered with the
+        ORIGINAL frame's intrinsics (converted to per-axis NDC units,
+        tester.py:632-635), square render resized to (w, h).
+
+        Deviations (documented): the render square is rounded up to the
+        Pallas tile multiple (output-identical up to resampling — the NDC
+        field of view is resolution-independent) and the white background
+        of the tex panel is composited host-side from alpha rather than via
+        a softmax background term (visually equivalent for a debug panel).
+        """
+        import cv2
+        cfg = self.cfg
+        any_specific = any(getattr(cfg, f, False) for f in (
+            "visualize_bbox", "visualize_match", "visualize_imatch",
+            "visualize_conf", "visualize_depth", "visualize_mask",
+            "visualize_tex", "visualize_mesh", "visualize_gt"))
+        want = {n for n in ("depth", "tex", "mask")
+                if (not any_specific) or getattr(cfg, f"visualize_{n}")}
+        if not want:
+            return None
+        import jax.numpy as jnp
+        from selfcorr_tpu.ops import geometry as G
+        from selfcorr_tpu.ops.rasterizer import render_fused
+        from selfcorr_tpu.ops.rasterizer.common import EYE_OFFSET
+        from selfcorr_tpu.utils.vis import to_u8
+
+        h, w = orig["img"].shape[:2]
+        on_cpu = jax.default_backend() == "cpu"
+        backend = "dense" if on_cpu else "pallas"
+        s = h if on_cpu else -(-h // 128) * 128  # Pallas tile multiple
+
+        verts = jnp.asarray(fit["verts"][i])[None]          # (1, V, 3) posed
+        faces = np.asarray(pred["faces"])
+        tex = jnp.asarray(pred["tex"][i])[None]             # (1, V, 3)
+        pp = np.asarray(batch["pp"][i])
+        foc = np.asarray(batch["foc"][i])
+        ppn = jnp.asarray([[pp[0] / (w / 2.0) - 1.0,
+                            pp[1] / (h / 2.0) - 1.0]], jnp.float32)
+        focn = jnp.asarray([[foc[0] / (w / 2.0),
+                             foc[1] / (h / 2.0)]], jnp.float32)
+        proj = G.project_ndc(verts, ppn, focn, flip_y=True)
+        rast = proj.at[..., 2].add(EYE_OFFSET)
+        fv = rast[:, faces]
+        tex_f = tex[:, faces]
+        vert_f = verts[:, faces]
+        # one fused call renders tex+alpha; a second (soft_tex=camera verts)
+        # gives the z channel for the depth panel (ref renders tex=verts)
+        out = render_fused(fv, tex_f, tex_f, s, gamma_t=1e-4,
+                           backend=backend)
+        alpha = np.asarray(out["alpha1"][0])
+        panels = {}
+        if "tex" in want:
+            rgb = np.asarray(out["tex"][0])
+            white = np.ones_like(rgb)
+            comp = rgb + (1.0 - alpha[..., None]) * white
+            panels["tex"] = cv2.resize(to_u8(comp)[:, :, ::-1], (w, h),
+                                       interpolation=cv2.INTER_LINEAR)
+        if "mask" in want:
+            m = np.repeat(alpha[..., None], 3, -1)
+            panels["mask"] = cv2.resize(to_u8(m), (w, h),
+                                        interpolation=cv2.INTER_LINEAR)
+        if "depth" in want:
+            outz = render_fused(fv, vert_f, vert_f, s, gamma_t=1e-4,
+                                backend=backend)
+            z = np.asarray(outz["tex"][0, :, :, 2])
+            fg = alpha > 0
+            if fg.any():
+                z = np.where(fg, z, z[fg].max() * 1.1)
+            lo, hi = z.min(), z.max()
+            z01 = (z - lo) / max(hi - lo, 1e-9)
+            panels["depth"] = cv2.resize(
+                to_u8(np.repeat(z01[..., None], 3, -1)), (w, h),
+                interpolation=cv2.INTER_LINEAR)
+        return panels
 
     def _eval_cub(self, batch, pred, fit, cub_iou, cub_pck):
         """Mask IoU of the fitted render + keypoint transfer PCK

@@ -5,10 +5,10 @@ barycentric pattern of n^2 points per face (upper/lower triangle fold), the
 face-corner imatch positions interpolated at those points, and image colors
 grid-sampled there -> (B, F, n^2, 3) texel grids.
 
-Rasterization of surface textures is supported by the dense backend
-(rgb 'surface' sampling per soft_rasterize_cuda_kernel.cu:178-195); the
-fused Pallas path currently requires vertex textures (surface_texture=False,
-the shipped default) and raises otherwise.
+Rasterization of surface textures (rgb 'surface' sampling per
+soft_rasterize_cuda_kernel.cu:178-195) is supported by BOTH backends: the
+dense reference implementation and the fused Pallas kernel (S_SURF slots /
+tex_res packing, fwd+bwd) — pinned by tests/test_surface_texture.py.
 """
 from __future__ import annotations
 

@@ -47,27 +47,36 @@ def init_state(cfg: Config, constants: MeshConstants, rng) -> TrainState:
     params = {"net": variables["params"],
               "mean_v": jnp.asarray(constants.mean_v_init)}
     tx = make_optimizer(cfg, params)
-    return TrainState(
+    state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=variables["batch_stats"],
         opt_state=tx.init(params),
         dino_params=dino_vars["params"],
     )
+    if cfg.resnet_init_path or cfg.dino_init_path:
+        # the reference always trains from ImageNet resnet18 + released DINO
+        # weights (image_encoder.py:121, dino.py:40-44); opt_state stays
+        # valid (same tree/shapes, Adam moments start at zero either way)
+        from selfcorr_tpu.utils.weight_convert import load_pretrained_init
+        state = load_pretrained_init(cfg, state)
+    return state
 
 
 def compress_batch_host(batch):
     """Host-side: pack the train batch into compact dtypes for upload
     (u8 img/mask/occ, u16 depth-mm) — ~3.4x less H2D traffic than f32.
     Depth crops are nearest-resampled integral millimetres (crops.py:82),
-    so u16 is exact for real datasets; img quantization (<0.4%) is far
-    below the ColorJitter augmentation noise."""
+    so u16 round-trips exactly for real datasets; non-integral depths
+    (e.g. the synthetic ray tracer's t*1000) are rounded-to-nearest so the
+    worst-case error is 0.5 mm with no systematic bias. Img quantization
+    (<0.4%) is far below the ColorJitter augmentation noise."""
     out = dict(batch)
     out["img"] = np.clip(np.asarray(batch["img"]) * 255.0 + 0.5,
                          0, 255).astype(np.uint8)
     out["mask"] = (np.asarray(batch["mask"]) > 0).astype(np.uint8)
     out["occ"] = (np.asarray(batch["occ"]) > 0).astype(np.uint8)
-    out["depth"] = np.clip(np.asarray(batch["depth"]),
+    out["depth"] = np.clip(np.asarray(batch["depth"]) + 0.5,
                            0, 65535).astype(np.uint16)
     return out
 
@@ -173,9 +182,14 @@ def make_sharded_train_step(cfg: Config, constants: MeshConstants,
 
     fn = functools.partial(train_step_sharded, constants=constants, cfg=cfg,
                            tx=tx)
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # metadata, so jax's vma checker rejects the Pallas rasterizer inside
+    # shard_map (found by dryrun_multichip with use_pallas=True). The manual
+    # pmean/axis_size reductions below make the sharding explicit anyway.
     sharded = shard_map(
         fn, mesh=mesh,
         in_specs=(P(), P("data"), P()),
         out_specs=(P(), P()),
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())

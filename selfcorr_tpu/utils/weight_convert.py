@@ -77,8 +77,12 @@ def convert_dino_vits8(sd: Dict[str, Any], feature_layer: int = 9,
                        target_grid: int = 32):
     """DINO ViT-S/8 state dict -> params for models/vit.DinoViTS8 (trunk
     truncated after `feature_layer`). Position embeddings are bicubic-resized
-    from the checkpoint grid to `target_grid` (zsp flexible ViT:192-213)."""
-    import cv2
+    from the checkpoint grid to `target_grid` via torch F.interpolate, the
+    reference's own resize (zsp vision_transformer_flexible.py:192-213;
+    cv2.resize caps at 4 channels in OpenCV 5 so it cannot resize the
+    (g, g, 384) grid)."""
+    import torch
+    import torch.nn.functional as tF
 
     params: dict = {}
     params["patch_embed"] = {
@@ -89,9 +93,10 @@ def convert_dino_vits8(sd: Dict[str, Any], feature_layer: int = 9,
     pos = _t(sd["pos_embed"])  # (1, 1+g*g, C)
     g = int(round((pos.shape[1] - 1) ** 0.5))
     if g != target_grid:
-        grid = pos[0, 1:].reshape(g, g, -1)
-        grid = cv2.resize(grid, (target_grid, target_grid),
-                          interpolation=cv2.INTER_CUBIC)
+        grid = torch.tensor(pos[0, 1:].reshape(g, g, -1)).permute(2, 0, 1)
+        grid = tF.interpolate(grid[None], size=(target_grid, target_grid),
+                              mode="bicubic")[0]
+        grid = grid.permute(1, 2, 0).numpy()
         pos = np.concatenate(
             [pos[:, :1], grid.reshape(1, target_grid * target_grid, -1)], 1)
     params["pos_embed"] = pos
@@ -211,6 +216,66 @@ def convert_meshnet(sd: Dict[str, Any]):
     params["pose_predictor"] = pose
 
     return params, stats, mean_v
+
+
+def _load_torch_sd(path: str) -> Dict[str, Any]:
+    """torch.load a checkpoint -> {key: np.ndarray}; unwraps the common
+    {'state_dict': ...} / {'model': ...} / {'teacher': ...} containers and
+    strips 'module.' DDP prefixes."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    for key in ("state_dict", "model", "teacher"):
+        if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
+            sd = sd[key]
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "numpy"):
+            k = k[len("module."):] if k.startswith("module.") else k
+            out[k] = v.numpy()
+    return out
+
+
+def load_pretrained_init(cfg, state):
+    """Bootstrap a fresh TrainState from released torch checkpoints — the
+    reference ALWAYS trains from these (image_encoder.py:121
+    `resnet18(pretrained=True)`; dino.py:29,40-44
+    `pretrain/dino_deitsmall8_pretrain.pth` loaded at DINO().__init__):
+
+      cfg.resnet_init_path: torchvision resnet18 ImageNet state dict ->
+          params['net']['backbone'] + batch_stats['backbone'].
+      cfg.dino_init_path: released DINO ViT-S/8 state dict ->
+          state.dino_params (frozen trunk; pos embeddings resized to the
+          cfg.img_size//8 grid).
+
+    Missing/empty paths leave the corresponding module at its random init.
+    """
+    params = dict(state.params)
+    new_net = dict(params["net"])
+    new_stats = dict(state.batch_stats)
+    dino_params = state.dino_params
+
+    if getattr(cfg, "resnet_init_path", ""):
+        sd = _load_torch_sd(cfg.resnet_init_path)
+        # torchvision sd keys have no prefix; reference MeshNet checkpoints
+        # nest them under encoder.backbone.resnet.
+        prefix = "" if "conv1.weight" in sd else "encoder.backbone.resnet."
+        bb_p, bb_s = convert_resnet18(sd, prefix=prefix)
+        merged_bb = dict(new_net["backbone"])
+        _merge(merged_bb, bb_p)
+        new_net["backbone"] = merged_bb
+        merged_bs = dict(new_stats["backbone"])
+        _merge(merged_bs, bb_s)
+        new_stats["backbone"] = merged_bs
+
+    if getattr(cfg, "dino_init_path", ""):
+        sd = _load_torch_sd(cfg.dino_init_path)
+        dino_params = convert_dino_vits8(
+            sd, target_grid=cfg.img_size // 8)
+
+    params["net"] = new_net
+    return state._replace(params=params, batch_stats=new_stats,
+                          dino_params=dino_params)
 
 
 def _merge(dst, src):

@@ -33,6 +33,22 @@ def test_parse_repo_configs():
         assert len(cfg.base_rot) == 9
 
 
+def test_parse_nocs_cub_configs():
+    """The shipped NOCS/CUB example flagfiles parse into coherent configs
+    (BASELINE.md's 'NOCS REAL275 eval' and 'CUB training' paths)."""
+    cfg = parse_args(["--flagfile", "config/nocs/laptop.txt"])
+    assert cfg.dataset_name == "nocs"
+    assert cfg.category == "laptop"
+    assert cfg.use_depth and cfg.use_occ
+    assert cfg.shape_prior and cfg.symmetry_idx == 1
+
+    cfg = parse_args(["--flagfile", "config/cub/cub.txt"])
+    assert cfg.dataset_name == "cub"
+    assert not cfg.use_depth
+    assert cfg.camera_loss and cfg.flatten_loss
+    assert cfg.symmetry_idx == -1 and not cfg.shape_prior
+
+
 def test_parse_ignores_reference_only_flags(capsys):
     cfg = parse_args(["--ngpu", "2", "--local_rank", "-1", "--topk_img=5"])
     assert cfg == Config()

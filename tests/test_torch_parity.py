@@ -412,3 +412,107 @@ def test_load_reference_ckpt_forward(tmp_path):
     # and the receiver was genuinely different before the import
     assert not np.allclose(np.asarray(receiver.params["mean_v"]),
                            np.asarray(loaded.params["mean_v"]))
+
+
+# ---------------------------------------------------------------------------
+# Pretrained bootstrap: resnet/DINO torch checkpoints -> training init
+# ---------------------------------------------------------------------------
+
+def _make_dino_sd(rng, g=7, dim=384, n_blocks=10):
+    """Synthesized released-DINO-format ViT-S/8 state dict (the real
+    dino_deitsmall8_pretrain.pth layout, dino.py:40-44), checkpoint pos grid
+    g x g so the import must resize it."""
+    sd = {
+        "patch_embed.proj.weight": rng.randn(dim, 3, 8, 8).astype(np.float32) * 0.02,
+        "patch_embed.proj.bias": rng.randn(dim).astype(np.float32) * 0.02,
+        "cls_token": rng.randn(1, 1, dim).astype(np.float32) * 0.02,
+        "pos_embed": rng.randn(1, 1 + g * g, dim).astype(np.float32) * 0.02,
+    }
+    for i in range(n_blocks):
+        p = f"blocks.{i}."
+        sd[p + "norm1.weight"] = np.ones(dim, np.float32)
+        sd[p + "norm1.bias"] = np.zeros(dim, np.float32)
+        sd[p + "norm2.weight"] = np.ones(dim, np.float32)
+        sd[p + "norm2.bias"] = np.zeros(dim, np.float32)
+        sd[p + "attn.qkv.weight"] = rng.randn(3 * dim, dim).astype(np.float32) * 0.02
+        sd[p + "attn.qkv.bias"] = np.zeros(3 * dim, np.float32)
+        sd[p + "attn.proj.weight"] = rng.randn(dim, dim).astype(np.float32) * 0.02
+        sd[p + "attn.proj.bias"] = np.zeros(dim, np.float32)
+        sd[p + "mlp.fc1.weight"] = rng.randn(4 * dim, dim).astype(np.float32) * 0.02
+        sd[p + "mlp.fc1.bias"] = np.zeros(4 * dim, np.float32)
+        sd[p + "mlp.fc2.weight"] = rng.randn(dim, 4 * dim).astype(np.float32) * 0.02
+        sd[p + "mlp.fc2.bias"] = np.zeros(dim, np.float32)
+    return sd
+
+
+def test_pretrained_bootstrap_init(tmp_path):
+    """--resnet_init_path/--dino_init_path wire released torch checkpoints
+    into a FRESH training init (reference: image_encoder.py:121 always
+    resnet18(pretrained=True); dino.py:29,40-44 always loads
+    pretrain/dino_deitsmall8_pretrain.pth). End-to-end: synthesized
+    torchvision/DINO-format .pth files -> init_state -> one finite train
+    step from the bootstrapped weights."""
+    from selfcorr_tpu.models.meshnet import build_mesh_constants
+    from selfcorr_tpu.train.optim import make_optimizer
+    from selfcorr_tpu.train.step import init_state, make_train_step
+    from tests.test_train_step import tiny_cfg, synthetic_batch
+
+    rng = np.random.RandomState(0)
+    # torchvision-format resnet18 (keys WITHOUT a prefix, plus the fc head
+    # the converter must ignore)
+    tm = TorchResNet18().eval()
+    with torch.no_grad():
+        randomize_bn(tm, rng)
+    rsd = {k: v for k, v in tm.state_dict().items()}
+    rsd["fc.weight"] = torch.zeros(1000, 512)
+    rsd["fc.bias"] = torch.zeros(1000)
+    resnet_path = tmp_path / "resnet18-imagenet.pth"
+    torch.save(rsd, str(resnet_path))
+
+    dsd = _make_dino_sd(rng)
+    dino_path = tmp_path / "dino_deitsmall8_pretrain.pth"
+    torch.save({k: torch.tensor(v) for k, v in dsd.items()}, str(dino_path))
+
+    cfg = tiny_cfg(resnet_init_path=str(resnet_path),
+                   dino_init_path=str(dino_path))
+    constants = build_mesh_constants(cfg)
+    state = init_state(cfg, constants, jax.random.PRNGKey(0))
+    rand_state = init_state(cfg.replace(resnet_init_path="",
+                                        dino_init_path=""),
+                            constants, jax.random.PRNGKey(0))
+
+    # backbone took the checkpoint values (layout-converted)
+    np.testing.assert_allclose(
+        np.asarray(state.params["net"]["backbone"]["conv1"]["kernel"]),
+        W.conv_t(t2n(rsd["conv1.weight"])), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state.batch_stats["backbone"]["layer3_0"]["BatchNorm_0"]["mean"]),
+        t2n(rsd["layer3.0.bn1.running_mean"]), atol=1e-6)
+    # DINO trunk took the checkpoint values; pos embed resized to the
+    # img_size//8 grid (tiny cfg: 32//8=4 -> (1, 17, 384))
+    np.testing.assert_allclose(
+        np.asarray(state.dino_params["block9"]["attn"]["qkv"]["kernel"]),
+        W.dense_t(dsd["blocks.9.attn.qkv.weight"]), atol=1e-6)
+    assert state.dino_params["pos_embed"].shape == \
+        rand_state.dino_params["pos_embed"].shape
+    # non-backbone modules keep their (seeded) random init
+    np.testing.assert_allclose(
+        np.asarray(state.params["net"]["pose_predictor"]["trans"]["kernel"]),
+        np.asarray(rand_state.params["net"]["pose_predictor"]["trans"]["kernel"]))
+    # tree structures identical -> flax apply / optimizer stay valid
+    assert (jax.tree_util.tree_structure(state.params)
+            == jax.tree_util.tree_structure(rand_state.params))
+    assert (jax.tree_util.tree_structure(state.dino_params)
+            == jax.tree_util.tree_structure(rand_state.dino_params))
+
+    # one finite train step FROM the bootstrapped init
+    tx = make_optimizer(cfg, state.params)
+    step_fn = make_train_step(cfg, constants, tx, donate=False)
+    new_state, metrics = step_fn(state, synthetic_batch(cfg),
+                                 jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["bad_grad"]) == 0.0
+    # the pretrained backbone actually trains (gradients flow into it)
+    assert not np.allclose(
+        np.asarray(new_state.params["net"]["backbone"]["conv1"]["kernel"]),
+        np.asarray(state.params["net"]["backbone"]["conv1"]["kernel"]))

@@ -123,3 +123,40 @@ def test_forward_test(setup):
     np.testing.assert_allclose(R @ R.transpose(0, 2, 1),
                                np.eye(3)[None].repeat(b, 0), atol=1e-5)
     assert np.isfinite(np.asarray(out["match_conf"])).all()
+
+
+def test_compress_roundtrip(setup):
+    """compress_batch_host -> decompress_batch must be unbiased and tight:
+    depth within 0.5 mm (round-to-nearest), img within one u8 quantum, and a
+    train step on the compressed batch must track the f32 step (pinning the
+    compact_transfer path, train/step.py:59-86)."""
+    from selfcorr_tpu.train.step import (compress_batch_host,
+                                         decompress_batch, make_train_step)
+    cfg, constants, state = setup
+    batch = synthetic_batch(cfg, seed=7)
+    # non-integral depths (the synthetic ray tracer emits t*1000-style values)
+    batch = dict(batch)
+    batch["depth"] = batch["depth"] * 997.3
+    comp = compress_batch_host(batch)
+    assert comp["img"].dtype == np.uint8
+    assert comp["depth"].dtype == np.uint16
+    dec = jax.tree_util.tree_map(jnp.asarray, decompress_batch(
+        {k: jnp.asarray(v) for k, v in comp.items()}))
+    d0 = np.asarray(batch["depth"])
+    d1 = np.asarray(dec["depth"])
+    assert np.abs(d0 - d1).max() <= 0.5 + 1e-3
+    # unbiased: mean error ~0, not systematically low
+    assert abs(float((d1 - d0).mean())) < 0.05
+    assert np.abs(np.asarray(batch["img"]) - np.asarray(dec["img"])).max() \
+        <= 0.5 / 255.0 + 1e-6
+    np.testing.assert_array_equal(np.asarray(dec["mask"]),
+                                  np.asarray(batch["mask"]))
+
+    # a step on the compressed batch stays close to the f32 step
+    tx = make_optimizer(cfg, state.params)
+    step_fn = make_train_step(cfg, constants, tx, donate=False)
+    _, m_f32 = step_fn(state, batch, jax.random.PRNGKey(11))
+    _, m_cmp = step_fn(state, {k: jnp.asarray(v) for k, v in comp.items()},
+                       jax.random.PRNGKey(11))
+    np.testing.assert_allclose(float(m_cmp["total_loss"]),
+                               float(m_f32["total_loss"]), rtol=2e-2)
