@@ -1,0 +1,147 @@
+"""Per-component timings of the flagship train step (PERF.md breakdown).
+
+Isolates each hot block fwd(+bwd) at the flagship Wild6D-laptop shapes so
+the optimization budget targets the real bottleneck. Timing follows
+scripts/bench_raster.py's chained-fetch discipline: on the tunneled axon
+backend block_until_ready does NOT sync (only value fetches do), so each
+iteration chains through its predecessor and intervals end with one scalar
+fetch; best of 3 intervals amortizes tunnel hiccups.
+
+Run solo on the TPU: python scripts/bench_components.py [component ...]
+Components: symmetry dino encoder corr step  (default: all)
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def time_chained(step, x0, iters=20, intervals=3):
+    x = step(x0)
+    float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+    best = float("inf")
+    for _ in range(intervals):
+        t0 = time.time()
+        for _ in range(iters):
+            x = step(x)
+        float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+        best = min(best, (time.time() - t0) / iters * 1000)
+    return best
+
+
+def _cfg():
+    import bench
+    return bench.flagship_cfg(on_cpu=False)
+
+
+def bench_symmetry():
+    from selfcorr_tpu.losses.regularizers import symmetry_loss
+    from selfcorr_tpu.ops.geometry import symmetry_rotations
+
+    rng = np.random.RandomState(0)
+    b, v = 32, 642
+    from selfcorr_tpu.ops.mesh_ops import icosphere
+    verts, faces = icosphere(3)
+    pred_v = jnp.asarray(np.tile(verts[None], (b, 1, 1)).astype(np.float32)
+                         + rng.randn(b, v, 3).astype(np.float32) * 0.01)
+    faces = jnp.asarray(faces.astype(np.int32))
+    rots = jnp.asarray(symmetry_rotations(1))
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def f(pv):
+        l, g = jax.value_and_grad(
+            lambda p: symmetry_loss(key, p, faces, rots, 10000))(pv)
+        return pv + 1e-30 * (l + g.mean())
+
+    t = time_chained(f, pred_v)
+    print(f"symmetry fwd+bwd (B=32, k=2, V=642, S=10k): {t:.1f} ms")
+
+
+def bench_dino():
+    from selfcorr_tpu.models.vit import DinoViTS8
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(32, 256, 256, 3).astype(np.float32))
+    dino = DinoViTS8()
+    params = dino.init(jax.random.PRNGKey(0), img[:1])["params"]
+
+    @jax.jit
+    def f(x):
+        y = dino.apply({"params": params}, x)
+        return x + 1e-30 * y.mean()
+
+    t = time_chained(f, img, iters=10)
+    print(f"dino fwd (B=32, 256^2): {t:.1f} ms")
+
+
+def bench_encoder():
+    from selfcorr_tpu.models.meshnet import Networks
+    cfg = _cfg()
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(32, 256, 256, 3).astype(np.float32))
+    net = Networks(cfg)
+    vs = net.init(jax.random.PRNGKey(0), img[:1], method="encode_img")
+
+    @jax.jit
+    def f(x):
+        def loss(p):
+            (code, feat), _ = net.apply(
+                {"params": p, "batch_stats": vs["batch_stats"]}, x, True,
+                method="encode_img", mutable=["batch_stats"])
+            return code.mean() + feat.mean()
+        l, g = jax.value_and_grad(loss)(vs["params"])
+        gsum = sum(jnp.sum(t) for t in jax.tree_util.tree_leaves(g))
+        return x + 1e-30 * (l + gsum)
+
+    t = time_chained(f, img, iters=10)
+    print(f"encoder fwd+bwd (B=32, 256^2): {t:.1f} ms (x2 in step: cycle re-encode)")
+
+
+def bench_corr():
+    from selfcorr_tpu.models import correspondence as corr
+    cfg = _cfg()
+    rng = np.random.RandomState(0)
+    b, p, v, c = 32, cfg.corr_h * cfg.corr_w, 642, cfg.n_corr_feat
+    img_feat = jnp.asarray(rng.randn(b, p, c).astype(np.float32))
+    mesh_feat = jnp.asarray(rng.randn(b, v, c).astype(np.float32))
+    mask = jnp.ones((b, 256, 256), jnp.float32)
+    pred_v = jnp.asarray(rng.randn(b, v, 3).astype(np.float32))
+    meshgrid = corr.make_meshgrid(cfg.corr_h, cfg.corr_w)
+
+    @jax.jit
+    def f(x):
+        def loss(x):
+            pc, mm, im, _ = corr.dual_softmax_match(
+                x, mesh_feat, mask, pred_v, meshgrid,
+                cfg.tau_img, cfg.tau_mesh, cfg.corr_h, cfg.corr_w)
+            return pc.mean() + mm.mean() + im.mean()
+        l, g = jax.value_and_grad(loss)(x)
+        return x + 1e-30 * (l + g.mean())
+
+    t = time_chained(f, img_feat)
+    print(f"correspondence volumes fwd+bwd (B=32): {t:.1f} ms")
+
+
+def bench_step():
+    import bench
+    t0 = time.time()
+    ips = bench.bench_train_step(on_cpu=False)
+    print(f"full train step: {32.0 / ips * 1000:.1f} ms ({ips:.1f} imgs/s)")
+
+
+ALL = dict(symmetry=bench_symmetry, dino=bench_dino, encoder=bench_encoder,
+           corr=bench_corr, step=bench_step)
+
+if __name__ == "__main__":
+    from selfcorr_tpu.utils.jit_cache import enable
+    enable()
+    names = sys.argv[1:] or list(ALL)
+    for n in names:
+        ALL[n]()

@@ -6,7 +6,14 @@ Run solo on the TPU (one chip, serial use): python scripts/bench_raster.py
 """
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+# self-locate the repo: do NOT ask callers to set PYTHONPATH — overwriting it
+# drops /root/.axon_site (how the axon TPU plugin reaches sys.path) and the
+# backend then fails to register
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -44,37 +51,52 @@ def ico_scene(b=32, seed=0, subdivide=3):
     return jnp.asarray(fv), jnp.asarray(tex)
 
 
+def _time_chained(step, x0, iters, intervals=3):
+    """Time a jitted x -> x step on the tunneled axon backend.
+
+    block_until_ready does NOT sync there (only value fetches do), and
+    independent dispatches just queue — so each iteration is CHAINED through
+    its predecessor's output and the interval ends with a scalar fetch.
+    Returns best per-iter ms over `intervals` runs (tunnel hiccup immunity),
+    fetch overhead amortized over `iters`."""
+    x = step(x0)
+    float(jnp.sum(x))  # compile + settle
+    best = float("inf")
+    for _ in range(intervals):
+        t0 = time.time()
+        for _ in range(iters):
+            x = step(x)
+        float(jnp.sum(x))
+        best = min(best, (time.time() - t0) / iters * 1000)
+    return best
+
+
 def bench(name, fv, tex, iters=20):
     from selfcorr_tpu.ops.rasterizer import render_fused
 
     fv = fv.at[..., 2].add(np.sqrt(3.0) + 1.0)  # EYE_OFFSET convention
 
     @jax.jit
-    def fwd(fv, tex):
-        return render_fused(fv, tex, tex, 256)
+    def fwd(fv):
+        out = render_fused(fv, tex, tex, 256)
+        # fold every output back into fv-shaped state: keeps iterations
+        # chained without changing the rendered scene's statistics
+        delta = (out["alpha1"].mean() + out["depth"].mean()
+                 + out["tex"].mean() + out["match"].mean()
+                 + out["alpha2"].mean())
+        return fv + 1e-30 * delta  # not DCE-able, vanishes in f32 rounding
 
     @jax.jit
-    def fwdbwd(fv, tex):
+    def fwdbwd(fv):
         def loss(fv, tex):
             out = render_fused(fv, tex, tex, 256)
             return (out["alpha1"].mean() + out["alpha2"].mean()
                     + out["depth"].mean() + out["tex"].mean())
         l, g = jax.value_and_grad(loss, argnums=(0, 1))(fv, tex)
-        return l, g
+        return fv + 1e-30 * (l + g[0].mean() + g[1].mean())
 
-    o = fwd(fv, tex); jax.block_until_ready(o["alpha1"])
-    t0 = time.time()
-    for _ in range(iters):
-        o = fwd(fv, tex)
-    jax.block_until_ready(o["alpha1"])
-    t_fwd = (time.time() - t0) / iters * 1000
-
-    l, g = fwdbwd(fv, tex); jax.block_until_ready(l)
-    t0 = time.time()
-    for _ in range(iters):
-        l, g = fwdbwd(fv, tex)
-    jax.block_until_ready(l)
-    t_all = (time.time() - t0) / iters * 1000
+    t_fwd = _time_chained(fwd, fv, iters)
+    t_all = _time_chained(fwdbwd, fv, iters)
     print(f"{name}: fwd {t_fwd:.1f} ms  fwd+bwd {t_all:.1f} ms "
           f"(bwd ~{t_all - t_fwd:.1f} ms)")
 

@@ -147,10 +147,15 @@ class Config:
     ransac_iters: int = 100
     pose_fit_max_points: int = 16384      # padded point budget for pose fit
     use_pallas: bool = True
-    dino_bf16: bool = False  # bfloat16 frozen-DINO trunk: measured slightly
-                             # slower than f32 on v5e (cast overhead beats
-                             # the MXU gain at ViT-S size); flag kept for
-                             # larger trunks / other chips
+    dino_bf16: bool = False  # bfloat16 frozen-DINO trunk. Measured TWICE as
+                             # a trap: the ISOLATED trunk forward is ~1.4x
+                             # faster in bf16 (57.5 -> 40.4 ms, v5e flagship
+                             # shapes), but inside the full train-step
+                             # program the bf16 variant is ~22 ms SLOWER
+                             # (319.7 f32 vs 341.7 bf16, round-3) — the
+                             # per-step param cast + layout conversions eat
+                             # the MXU gain. Keep False; re-measure in-step
+                             # before ever flipping.
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -237,13 +237,17 @@ def forward_train(params, batch_stats, dino_params, batch, constants:
 
     occ = batch.get("occ") if cfg.use_occ else None
     aux = {}
+    zero = jnp.zeros(())
     mask_l = w["mask"] * mask_pyramid_loss(mask, r["mask_render"], occ).mean()
-    tex_l = w["tex"] * texture_loss(img, mask, r["tex_render"], r["tex_mask"],
-                                    occ).mean()
-    match_l = w["match"] * match_loss(match_map, r["match_gt"],
-                                      r["match_mask"], mask).mean()
-    imatch_l = w["imatch"] * imatch_loss(imatch, r["imatch_gt"],
-                                         r["depth_weight"]).mean()
+    tex_l = (w["tex"] * texture_loss(img, mask, r["tex_render"],
+                                     r["tex_mask"], occ).mean()
+             if cfg.tex_wt != 0.0 else zero)
+    match_l = (w["match"] * match_loss(match_map, r["match_gt"],
+                                       r["match_mask"], mask).mean()
+               if cfg.match_wt != 0.0 else zero)
+    imatch_l = (w["imatch"] * imatch_loss(imatch, r["imatch_gt"],
+                                          r["depth_weight"]).mean()
+                if cfg.imatch_wt != 0.0 else zero)
 
     total = mask_l + tex_l + match_l + imatch_l
     aux.update(mask_loss=mask_l, texture_loss=tex_l, match_loss=match_l,
@@ -264,9 +268,16 @@ def forward_train(params, batch_stats, dino_params, batch, constants:
         total = total + depth_l
         aux["depth_loss"] = depth_l
 
-    symm_l = w["symmetry"] * symmetry_loss(
-        k_sym, pred_v, faces, jnp.asarray(constants.symm_rots),
-        cfg.symmetry_npts)
+    # statically-zero weights skip the term's compute entirely (cfg is
+    # static under jit) — 0 * term would still trace and execute the whole
+    # subgraph; the aux key stays (as 0) so logging/ablation tooling is
+    # shape-stable
+    if cfg.symmetry_wt != 0.0:
+        symm_l = w["symmetry"] * symmetry_loss(
+            k_sym, pred_v, faces, jnp.asarray(constants.symm_rots),
+            cfg.symmetry_npts)
+    else:
+        symm_l = zero
     tri_l = w["triangle"] * laplacian_loss(
         pred_v, jnp.asarray(constants.laplacian)) * pred_v.shape[1] / 64.0
     if cfg.flatten_loss:
@@ -287,23 +298,26 @@ def forward_train(params, batch_stats, dino_params, batch, constants:
     divide = DIVIDE_FNS[cfg.divide_fn]
     rep = cfg.repeat
     bs = b // rep
-    dino = DinoViTS8()
-    if cfg.dino_bf16:
-        dp = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16),
-                                    dino_params)
-        dino_feat = dino.apply({"params": dp}, img.astype(jnp.bfloat16))
-        dino_feat = dino_feat.astype(jnp.float32)
-    else:
-        dino_feat = dino.apply({"params": dino_params}, img)
-    dino_feat = jax.lax.stop_gradient(
-        dino_feat.reshape(b, -1, dino_feat.shape[-1]))
+    if cfg.cycle_loss_pretrain_wt != 0.0:
+        dino = DinoViTS8()
+        if cfg.dino_bf16:
+            dp = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16),
+                                        dino_params)
+            dino_feat = dino.apply({"params": dp}, img.astype(jnp.bfloat16))
+            dino_feat = dino_feat.astype(jnp.float32)
+        else:
+            dino_feat = dino.apply({"params": dino_params}, img)
+        dino_feat = jax.lax.stop_gradient(
+            dino_feat.reshape(b, -1, dino_feat.shape[-1]))
 
-    cyc_pt, _ = corr.dino_cycle_loss(
-        divide(dino_feat, bs, rep), divide(mask, bs, rep),
-        divide(r["depth_weight"], bs, rep), divide(pointcorr, bs, rep),
-        meshgrid, cfg.tau_img, cfg.tau_mesh,
-        cfg.corr_h, cfg.corr_w, cfg.pretrain_k)
-    cyc_pt = w["cycle_pt"] * cyc_pt
+        cyc_pt, _ = corr.dino_cycle_loss(
+            divide(dino_feat, bs, rep), divide(mask, bs, rep),
+            divide(r["depth_weight"], bs, rep), divide(pointcorr, bs, rep),
+            meshgrid, cfg.tau_img, cfg.tau_mesh,
+            cfg.corr_h, cfg.corr_w, cfg.pretrain_k)
+        cyc_pt = w["cycle_pt"] * cyc_pt
+    else:
+        cyc_pt = zero
 
     # rotation-augmentation cycle loss (correspondence.py:76-113). The
     # re-encode uses this step's batch stats without re-updating them (the
@@ -316,10 +330,13 @@ def forward_train(params, batch_stats, dino_params, batch, constants:
             x, True, method="encode_img", mutable=["batch_stats"])
         return f
 
-    cyc, *_ = corr.rotation_cycle_loss(
-        k_cyc, img, mask, img_feat, encode_fn, meshgrid, cfg.tau_mesh,
-        cfg.corr_h, cfg.corr_w)
-    cyc = w["cycle"] * cyc
+    if cfg.cycle_loss_wt != 0.0:
+        cyc, *_ = corr.rotation_cycle_loss(
+            k_cyc, img, mask, img_feat, encode_fn, meshgrid, cfg.tau_mesh,
+            cfg.corr_h, cfg.corr_w)
+        cyc = w["cycle"] * cyc
+    else:
+        cyc = zero
     total = total + cyc_pt + cyc
     aux.update(cycle_loss_pretrain=cyc_pt, cycle_loss=cyc)
 

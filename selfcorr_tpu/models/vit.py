@@ -41,7 +41,12 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, name="qkv")(x)
         qkv = qkv.reshape(b, t, 3, self.num_heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b,t,h,d)
-        # fused attention (flash-style on TPU): never materializes (b,h,t,t)
+        # XLA attention. A hand-written flash-attention Pallas kernel was
+        # built and measured in round 3: at these shapes (T=1025, D=64, f32)
+        # it only ties XLA's materialized-softmax path on v5e (4.7 vs 5.6 ms
+        # isolated; NEUTRAL in the full trunk) because the matmuls, not the
+        # (b,h,t,t) HBM traffic, dominate — so the kernel was dropped. The
+        # real lever is cfg.dino_bf16 (57.5 -> 40.4 ms full trunk).
         y = jax.nn.dot_product_attention(q, k, v)
         y = y.reshape(b, t, c)
         y = nn.Dense(self.dim, name="proj")(y)

@@ -27,40 +27,49 @@ def min_sq_dist(x: jnp.ndarray, y: jnp.ndarray, y_valid: jnp.ndarray | None = No
     """Per-point min squared distance from x to the set y.
 
     x: (B, N, 3); y: (B, M, 3); y_valid: optional (B, M) bool/0-1 mask.
-    Returns (B, N) float32. Memory high-water mark is (B, N, chunk).
+    Returns (B, N) float32.
+
+    argmin-gather formulation: only the WINNING index is taken from the
+    (B, N, M) pairwise field, and the min distance is then recomputed
+    exactly from the gathered winner. The index is a constant of the
+    minimized function (the true subgradient fixes the argmin), so gradients
+    through the gather equal those through a min — and reverse-mode never
+    stores an (N, M) block (the earlier einsum+scan version wrote
+    (B, N, chunk) f32 blocks to HBM every scan step: ~70 ms of pure
+    bandwidth at flagship symmetry-loss shapes).
+
+    The argmin pass picks between two strategies by size:
+      * small B*N*M: |x|^2 + |y|^2 - 2 x.y with the cross term on the MXU,
+        one materialized (B, N, M) f32 write + argmin read (~4 ms at the
+        symmetry-loss shapes — the VPU loop fusion below measured 3x
+        slower there);
+      * large: virtual broadcast - square - sum(3) feeding the argmin
+        reduce in one XLA loop fusion, no HBM materialization (the
+        depth-chamfer shapes would need a 17 GB buffer materialized).
+    The materialized pass may pick a different index on near-exact ties
+    (f32 reassociation); the recomputed distance is exact either way.
     """
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
-    x2 = jnp.sum(x * x, axis=-1)  # (B, N)
-
-    y_pad, m = _pad_to_multiple(y, 1, chunk, 0.0)
-    if y_valid is None:
-        valid = jnp.arange(y_pad.shape[1]) < m  # (Mp,)
-        valid = jnp.broadcast_to(valid[None], (y.shape[0], y_pad.shape[1]))
-    else:
-        valid, _ = _pad_to_multiple(y_valid.astype(jnp.float32), 1, chunk, 0.0)
-        valid = valid > 0
-    n_chunks = y_pad.shape[1] // chunk
-    yc = y_pad.reshape(y.shape[0], n_chunks, chunk, 3).transpose(1, 0, 2, 3)
-    vc = valid.reshape(y.shape[0], n_chunks, chunk).transpose(1, 0, 2)
-
-    @jax.checkpoint
-    def body(carry, inp):
-        # rematerialized: without checkpointing, reverse-mode AD stores the
-        # (B, N, chunk) distance block of EVERY scan step (14 GB for the
-        # 17-fold symmetry loss at batch 32, an HBM OOM); recomputing in the
-        # backward pass costs one extra matmul per chunk
-        yk, vk = inp  # (B, chunk, 3), (B, chunk)
-        y2 = jnp.sum(yk * yk, axis=-1)  # (B, chunk)
-        xy = jnp.einsum("bnd,bmd->bnm", x, yk,
+    xs = jax.lax.stop_gradient(x)   # the argmin pass carries no gradients
+    ys = jax.lax.stop_gradient(y)
+    if x.shape[0] * x.shape[1] * y.shape[1] <= 600_000_000:
+        xy = jnp.einsum("bnd,bmd->bnm", xs, ys,
                         preferred_element_type=jnp.float32)
-        d2 = x2[:, :, None] + y2[:, None, :] - 2.0 * xy
-        d2 = jnp.where(vk[:, None, :], d2, jnp.inf)
-        return jnp.minimum(carry, jnp.min(d2, axis=-1)), None
-
-    # full_like keeps the device-varying type of x (shard_map vma tracking)
-    init = jnp.full_like(x[..., 0], jnp.inf)
-    out, _ = jax.lax.scan(body, init, (yc, vc))
+        x2 = jnp.sum(xs * xs, axis=-1)
+        y2 = jnp.sum(ys * ys, axis=-1)
+        d2v = x2[:, :, None] + y2[:, None, :] - 2.0 * xy
+    else:
+        d2v = jnp.sum((xs[:, :, None, :] - ys[:, None, :, :]) ** 2, axis=-1)
+    if y_valid is not None:
+        d2v = jnp.where(y_valid[:, None, :] > 0, d2v, jnp.inf)
+    idx = jax.lax.stop_gradient(jnp.argmin(d2v, axis=-1))      # (B, N)
+    ynn = jnp.take_along_axis(y, idx[..., None], axis=1)       # (B, N, 3)
+    out = jnp.sum((x - ynn) ** 2, axis=-1)
+    if y_valid is not None:
+        vnn = jnp.take_along_axis(y_valid.astype(jnp.float32),
+                                  idx, axis=1)
+        out = jnp.where(vnn > 0, out, jnp.inf)
     return jnp.maximum(out, 0.0)
 
 

@@ -165,10 +165,16 @@ def compute_chunk_info(consts: jnp.ndarray, image_size: int, pad: float):
     """EXACT per-(batch, row-strip, column-tile) chunk culling, computed
     outside the kernel from the packed bboxes.
 
-    Returns (spans, masks):
-      spans (B, R, C, 2) int32 — [first, last+1) qualifying 16-face chunk ids
-      masks (B, R, C, W) int32 — bit ci%32 of word ci//32 set iff chunk ci's
-        bbox overlaps the pad-expanded tile box (W = ceil(n_chunks/32)).
+    Returns (spans, masks), both 2-D and flattened over (row-strip, column
+    tile) — Mosaic pads the LAST dim of every scalar-prefetched SMEM operand
+    to 128 lanes, so a (B, R, C, 2) layout would allocate B*R*C*128 words
+    (1 MB at flagship shapes, the whole SMEM budget); keeping the flattened
+    tile axis last stays at the true size:
+      spans (B, R*C*2) int32 — [first, last+1) qualifying 16-face chunk ids
+        for tile (r, c) at [(r*C + c)*2 : +2]
+      masks (B, R*C*W) int32 — bit ci%32 of word (r*C + c)*W + ci//32 set iff
+        chunk ci's bbox overlaps tile (r, c)'s pad-expanded box
+        (W = ceil(n_chunks/32)).
 
     Replaces the kernel's in-loop per-chunk bbox test (a VMEM load + vector
     reduce per SKIPPED chunk) with a scalar SMEM bit test, and — unlike the
@@ -218,7 +224,8 @@ def compute_chunk_info(consts: jnp.ndarray, image_size: int, pad: float):
                           dtype=jnp.uint32)
     words = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
     masks = jax.lax.bitcast_convert_type(words, jnp.int32)
-    return spans, masks
+    return (spans.reshape(b, n_rows * n_cols * 2),
+            masks.reshape(b, n_rows * n_cols * w))
 
 
 # ---------------------------------------------------------------------------
@@ -267,8 +274,28 @@ def _chunk_geometry(cv, xs, ys, p2, sigma1, sigma2, near, far):
 
     contrib1 = inside | (dis2 < sigma1 * C.DIST_CUT)
     contrib2 = inside | (dis2 < sigma2 * C.DIST_CUT)
-    d1 = jax.nn.sigmoid(sign * dis2 / sigma1) * contrib1
-    d2_ = jax.nn.sigmoid(sign * dis2 / sigma2) * contrib2
+    # Both coverage sigmoids from ONE exp: sigmoid(z) = 1/(1 + exp(-z)) and
+    # when sigma1 = sigma2/r with small integer r, exp(-z1) = exp(-z2)^r
+    # (binary exponentiation). jax.nn.sigmoid evaluates BOTH of its
+    # stability branches' exps on the VPU, so this replaces 4 transcendental
+    # passes with 1. Overflow is benign: exp(+92) = inf -> 1/(1+inf) = 0,
+    # exp(-92) flushes to 0 -> sigmoid 1 (exactly the saturated values).
+    e2x = jnp.exp(-sign * dis2 / sigma2)
+    r = sigma2 / sigma1
+    ri = int(round(r))
+    if abs(r - ri) < 1e-6 and 2 <= ri <= 32:
+        p, acc, base = ri, None, e2x
+        while p:
+            if p & 1:
+                acc = base if acc is None else acc * base
+            p >>= 1
+            if p:
+                base = base * base
+        e1x = acc
+    else:
+        e1x = jnp.exp(-sign * dis2 / sigma1)
+    d1 = (1.0 / (1.0 + e1x)) * contrib1
+    d2_ = (1.0 / (1.0 + e2x)) * contrib2
 
     c0 = jnp.clip(w0, 0.0, 1.0)
     c1 = jnp.clip(w1, 0.0, 1.0)
@@ -373,14 +400,16 @@ def _fwd_kernel(spans_ref, masks_ref, consts_ref, *out_refs, image_size,
     ones = jnp.ones(shp, jnp.float32)
 
     bi = pl.program_id(0)
-    pr = pl.program_id(1)
-    pc = pl.program_id(2)
+    # flattened (row-strip, column-tile) index into the 2-D spans/masks
+    # (see compute_chunk_info: last-dim SMEM padding forces this layout)
+    tile = pl.program_id(1) * (s_img // tc) + pl.program_id(2)
+    n_words = -(-n_chunks // 32)
 
     def body(ci, carry):
         # exact per-chunk cull precomputed by compute_chunk_info: one scalar
         # SMEM bit test replaces the old per-chunk VMEM bbox load + vector
         # reduce, and also rejects chunks that miss the COLUMN tile
-        word = masks_ref[bi, pr, pc, ci // 32]
+        word = masks_ref[bi, tile * n_words + ci // 32]
         bit = jax.lax.shift_right_logical(word, jnp.remainder(ci, 32)) & 1
 
         def compute(carry):
@@ -399,16 +428,7 @@ def _fwd_kernel(spans_ref, masks_ref, consts_ref, *out_refs, image_size,
             d1, d2 = g["D1"], g["D2"]
             c0, c1, c2 = g["wc"]
 
-            p1 = p1 * _prod_faces(1.0 - d1)
             p2_prod = p2_prod * _prod_faces(1.0 - d2)
-
-            contrib_d = g["contrib1"] & g["z_ok"]
-            zn_d = jnp.where(contrib_d, g["zn"], -jnp.inf)
-            z0, z1, z2 = _cols(cv, S_Z, 3)
-            val_d = (c0 * (z0 - z_offset) + c1 * (z1 - z_offset)
-                     + c2 * (z2 - z_offset))
-            m_d, s_d, (acc_d,) = _softmax_update(
-                m_d, s_d, [acc_d], zn_d, d1, [val_d], gamma_d)
 
             contrib_t = g["contrib2"] & g["z_ok"]
             zn_t = jnp.where(contrib_t, g["zn"], -jnp.inf)
@@ -424,35 +444,59 @@ def _fwd_kernel(spans_ref, masks_ref, consts_ref, *out_refs, image_size,
                 m_t, s_t, [acc_tr, acc_tg, acc_tb], zn_t, d2,
                 [col_r, col_g, col_b], gamma_t)
 
-            # hard pass: nearest containing face
-            w0, w1, w2 = g["w"]
-            inside_ns = ((w0 >= 0) & (w0 <= 1) & (w1 >= 0) & (w1 <= 1)
-                         & (w2 >= 0) & (w2 <= 1))
-            hard_ok = inside_ns & g["contrib1"] & g["z_ok"]
-            zp_h = jnp.where(hard_ok, g["zp"], jnp.inf)
-            chunk_min = jnp.min(zp_h, axis=0, keepdims=True)
-            eq = (zp_h == chunk_min) & hard_ok
-            # first-true along the face axis (CUDA keeps the earliest face on
-            # z ties); unrolled — FF is small and static
-            seen = jnp.zeros_like(eq[0:1])
-            firsts = []
-            for i in range(FF):
-                e_i = eq[i:i + 1]
-                firsts.append(e_i & (~seen))
-                seen = seen | e_i
-            fm = jnp.concatenate(firsts, axis=0).astype(jnp.float32)
-            htex = _cols(cv, S_HTEX, 9)
-            hc_r = jnp.sum(fm * (c0 * htex[0] + c1 * htex[3] + c2 * htex[6]),
-                           axis=0, keepdims=True)
-            hc_g = jnp.sum(fm * (c0 * htex[1] + c1 * htex[4] + c2 * htex[7]),
-                           axis=0, keepdims=True)
-            hc_b = jnp.sum(fm * (c0 * htex[2] + c1 * htex[5] + c2 * htex[8]),
-                           axis=0, keepdims=True)
-            is_new = chunk_min < zmin
-            hr = jnp.where(is_new, hc_r, hr)
-            hg = jnp.where(is_new, hc_g, hg)
-            hb = jnp.where(is_new, hc_b, hb)
-            zmin = jnp.minimum(zmin, chunk_min)
+            def depth_hard(sub):
+                # EXACT skip when no face reaches the sigma1 support in this
+                # tile (sigma1's cutoff radius is ~3.2x tighter than
+                # sigma2's): d1 == 0 there, so the coverage product, the
+                # depth softmax and the hard pass are all no-ops
+                (p1, m_d, s_d, acc_d, zmin, hr, hg, hb) = sub
+                p1 = p1 * _prod_faces(1.0 - d1)
+
+                contrib_d = g["contrib1"] & g["z_ok"]
+                zn_d = jnp.where(contrib_d, g["zn"], -jnp.inf)
+                z0, z1, z2 = _cols(cv, S_Z, 3)
+                val_d = (c0 * (z0 - z_offset) + c1 * (z1 - z_offset)
+                         + c2 * (z2 - z_offset))
+                m_d, s_d, (acc_d,) = _softmax_update(
+                    m_d, s_d, [acc_d], zn_d, d1, [val_d], gamma_d)
+
+                # hard pass: nearest containing face
+                w0, w1, w2 = g["w"]
+                inside_ns = ((w0 >= 0) & (w0 <= 1) & (w1 >= 0) & (w1 <= 1)
+                             & (w2 >= 0) & (w2 <= 1))
+                hard_ok = inside_ns & g["contrib1"] & g["z_ok"]
+                zp_h = jnp.where(hard_ok, g["zp"], jnp.inf)
+                chunk_min = jnp.min(zp_h, axis=0, keepdims=True)
+                eq = (zp_h == chunk_min) & hard_ok
+                # first-true along the face axis (CUDA keeps the earliest
+                # face on z ties); unrolled — FF is small and static
+                seen = jnp.zeros_like(eq[0:1])
+                firsts = []
+                for i in range(FF):
+                    e_i = eq[i:i + 1]
+                    firsts.append(e_i & (~seen))
+                    seen = seen | e_i
+                fm = jnp.concatenate(firsts, axis=0).astype(jnp.float32)
+                htex = _cols(cv, S_HTEX, 9)
+                hc_r = jnp.sum(
+                    fm * (c0 * htex[0] + c1 * htex[3] + c2 * htex[6]),
+                    axis=0, keepdims=True)
+                hc_g = jnp.sum(
+                    fm * (c0 * htex[1] + c1 * htex[4] + c2 * htex[7]),
+                    axis=0, keepdims=True)
+                hc_b = jnp.sum(
+                    fm * (c0 * htex[2] + c1 * htex[5] + c2 * htex[8]),
+                    axis=0, keepdims=True)
+                is_new = chunk_min < zmin
+                hr = jnp.where(is_new, hc_r, hr)
+                hg = jnp.where(is_new, hc_g, hg)
+                hb = jnp.where(is_new, hc_b, hb)
+                zmin = jnp.minimum(zmin, chunk_min)
+                return (p1, m_d, s_d, acc_d, zmin, hr, hg, hb)
+
+            sub = (p1, m_d, s_d, acc_d, zmin, hr, hg, hb)
+            (p1, m_d, s_d, acc_d, zmin, hr, hg, hb) = jax.lax.cond(
+                jnp.any(g["contrib1"]), depth_hard, lambda s: s, sub)
 
             return (p1, p2_prod, m_d, s_d, acc_d, m_t, s_t,
                     acc_tr, acc_tg, acc_tb, zmin, hr, hg, hb)
@@ -465,8 +509,8 @@ def _fwd_kernel(spans_ref, masks_ref, consts_ref, *out_refs, image_size,
             jnp.full(shp, jnp.inf), zeros, zeros, zeros)     # hard winner
     # loop only over this tile's qualifying chunk span (faces are y-sorted,
     # band-major/x-minor; holes inside the span are skipped by the bit test)
-    c_start = spans_ref[bi, pr, pc, 0]
-    c_end = spans_ref[bi, pr, pc, 1]
+    c_start = spans_ref[bi, tile * 2]
+    c_end = spans_ref[bi, tile * 2 + 1]
     (p1, p2_prod, m_d, s_d, acc_d, m_t, s_t, acc_tr, acc_tg, acc_tb,
      zmin, hr, hg, hb) = jax.lax.fori_loop(c_start, c_end, body, init)
 
@@ -526,11 +570,11 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
     g_tb = ld(gtb_ref)
 
     bi = pl.program_id(0)
-    pr = pl.program_id(1)
-    pc = pl.program_id(2)
+    tile = pl.program_id(1) * (s_img // tc) + pl.program_id(2)
+    n_words = -(-n_chunks // 32)
 
     def body(ci, _):
-        word = masks_ref[bi, pr, pc, ci // 32]
+        word = masks_ref[bi, tile * n_words + ci // 32]
         bit = jax.lax.shift_right_logical(word, jnp.remainder(ci, 32)) & 1
 
         def compute(_):
@@ -544,22 +588,32 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
             c0, c1, c2 = g["wc"]
             zp, zn = g["zp"], g["zn"]
 
-            # --- coverage (alpha prod) chains
-            dL_dD1 = g_a1 * p1_tot / jnp.maximum(1.0 - d1, 1e-6)
+            # --- coverage (alpha2) chain
             dL_dD2 = g_a2 * p2_tot / jnp.maximum(1.0 - d2, 1e-6)
 
-            # --- depth softmax chain
-            contrib_d = g["contrib1"] & g["z_ok"]
-            zn_d = jnp.where(contrib_d, zn, -jnp.inf)
-            u_d = jnp.exp((zn_d - m_d) / gamma_d) / s_d
-            z0, z1, z2 = _cols(cv, S_Z, 3)
-            val_d = (c0 * (z0 - z_offset) + c1 * (z1 - z_offset)
-                     + c2 * (z2 - z_offset))
-            r_d = val_d - out_d
-            wgt_d = d1 * u_d
-            dL_dD1 = dL_dD1 + g_d * r_d * u_d
-            dL_dzn = g_d * r_d * wgt_d / gamma_d
-            dL_dval = g_d * wgt_d  # -> z grads
+            # --- alpha1 + depth softmax chain, gated like the forward: with
+            # no contrib1 in the tile d1 == 0, so every term below is zero
+            # (the alpha1 coverage cotangent only reaches dis2 through
+            # d1*(1-d1) — fold that product in here so the skip is exact)
+            def depth_chain(_):
+                contrib_d = g["contrib1"] & g["z_ok"]
+                zn_d = jnp.where(contrib_d, zn, -jnp.inf)
+                u_d = jnp.exp((zn_d - m_d) / gamma_d) / s_d
+                z0, z1, z2 = _cols(cv, S_Z, 3)
+                val_d = (c0 * (z0 - z_offset) + c1 * (z1 - z_offset)
+                         + c2 * (z2 - z_offset))
+                r_d = val_d - out_d
+                wgt_d = d1 * u_d
+                dL_dD1 = (g_a1 * p1_tot / jnp.maximum(1.0 - d1, 1e-6)
+                          + g_d * r_d * u_d)
+                ddis2_1 = dL_dD1 * g["sign"] * d1 * (1.0 - d1) / sigma1
+                dzn_1 = g_d * r_d * wgt_d / gamma_d
+                return ddis2_1, dzn_1, g_d * wgt_d
+
+            zf = jnp.zeros_like(d1)
+            ddis2_1, dzn_1, dL_dval = jax.lax.cond(
+                jnp.any(g["contrib1"]), depth_chain,
+                lambda _: (zf, zf, zf), 0)
 
             # --- tex softmax chain
             contrib_t = g["contrib2"] & g["z_ok"]
@@ -578,15 +632,14 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
                       + g_tb * (col_b - out_tb))
             wgt_t = d2 * u_t
             dL_dD2 = dL_dD2 + gr_dot * u_t
-            dL_dzn = dL_dzn + gr_dot * wgt_t / gamma_t
+            dL_dzn = dzn_1 + gr_dot * wgt_t / gamma_t
             # texture color grads (per channel, per corner)
             dL_dcol_r = g_tr * wgt_t
             dL_dcol_g = g_tg * wgt_t
             dL_dcol_b = g_tb * wgt_t
 
-            # --- D -> dis2
-            dL_ddis2 = (dL_dD1 * g["sign"] * d1 * (1.0 - d1) / sigma1
-                        + dL_dD2 * g["sign"] * d2 * (1.0 - d2) / sigma2)
+            # --- D -> dis2 (the D1 part was folded into ddis2_1 above)
+            dL_ddis2 = ddis2_1 + dL_dD2 * g["sign"] * d2 * (1.0 - d2) / sigma2
 
             # --- zn -> zp -> inv_z
             dL_dzp = -dL_dzn / (far - near)
@@ -665,8 +718,8 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
 
         return jax.lax.cond(bit == 1, compute, lambda _: 0, 0)
 
-    c_start = spans_ref[bi, pr, pc, 0]
-    c_end = spans_ref[bi, pr, pc, 1]
+    c_start = spans_ref[bi, tile * 2]
+    c_end = spans_ref[bi, tile * 2 + 1]
     jax.lax.fori_loop(c_start, c_end, body, 0)
 
 

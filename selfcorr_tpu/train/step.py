@@ -151,14 +151,18 @@ def train_step_sharded(state: TrainState, batch, rng,
     (loss, (aux, new_bs)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
 
-    # NOTE: the cotangent of a replicated (P()) shard_map input is typed
-    # 'unreduced' (a lazy psum) in current jax: pmean on it MATERIALIZES
-    # the cross-shard SUM, and psum would double-count. Divide by the axis
-    # size explicitly to get the DDP-mean gradient (trainer.py:66-78
-    # semantics). Pinned by test_single_vs_multi_device_equivalence.
-    n_shards = jax.lax.axis_size(axis)
-    grads = jax.tree_util.tree_map(
-        lambda g: jax.lax.pmean(g, axis) / n_shards, grads)
+    # NOTE: shard_map AD's cotangent typing for replicated (P()) inputs is
+    # SUBTLE and has flipped under us once already: with the round-2 graph
+    # (scan/einsum chamfer) every param cotangent came out 'unreduced' (a
+    # lazy psum — pmean materialized the cross-shard SUM, needing an extra
+    # /axis_size); after the round-3 argmin-gather chamfer rewrite the same
+    # graph yields plain per-shard local grads (pmean IS the DDP mean; the
+    # old division made grads 8x too small). Measured leaf-by-leaf against
+    # the single-device composite (all 108 leaves ratio 1.000). Keep
+    # test_single_vs_multi_device_equivalence green after ANY change to loss
+    # internals or a jax upgrade — it pins these semantics exactly
+    # (reference DDP mean: trainer.py:66-78).
+    grads = jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, axis), grads)
     aux = jax.lax.pmean(aux, axis)
     new_bs = jax.lax.pmean(new_bs, axis)
 

@@ -8,6 +8,15 @@ from selfcorr_tpu.ops.rasterizer import pallas_raster as PR
 from selfcorr_tpu.ops.rasterizer import common as C
 
 
+def _unflatten(spans, masks, s, tc, nc):
+    """compute_chunk_info returns 2-D (B, R*C*{2,W}) arrays (SMEM last-dim
+    padding, see its docstring); give the tests a (B, R, C, .) view."""
+    n_rows, n_cols = s // PR.TR, s // tc
+    w = -(-nc // 32)
+    return (np.asarray(spans).reshape(-1, n_rows, n_cols, 2),
+            np.asarray(masks).reshape(-1, n_rows, n_cols, w))
+
+
 def _decode(spans, masks, b, r, c, nc):
     """Set of chunk ids the kernel would actually process."""
     out = set()
@@ -31,9 +40,9 @@ def test_chunk_info_covers_all_contributing_faces():
         tex = jnp.ones((B, F, 3, 3), jnp.float32)
         consts = PR.pack_constants(fv, tex, tex)
         spans, masks = PR.compute_chunk_info(consts, S, pad)
-        spans, masks = np.asarray(spans), np.asarray(masks)
         cn = np.asarray(consts)
         nc = cn.shape[1] // PR.FF
+        spans, masks = _unflatten(spans, masks, S, tc, nc)
         xmin = cn[..., PR.S_BBOX + 0]
         xmax = cn[..., PR.S_BBOX + 1]
         ymin = cn[..., PR.S_BBOX + 2]
@@ -61,8 +70,8 @@ def test_chunk_info_culls_far_tiles():
     tex = jnp.ones((1, 1, 3, 3), jnp.float32)
     consts = PR.pack_constants(fv, tex, tex)
     spans, masks = PR.compute_chunk_info(consts, 256, 0.1)
-    spans, masks = np.asarray(spans), np.asarray(masks)
     nc = consts.shape[1] // PR.FF
+    spans, masks = _unflatten(spans, masks, 256, min(PR.TC, 256), nc)
     n_live = sum(
         1
         for r in range(spans.shape[1])
@@ -81,8 +90,8 @@ def test_chunk_info_x_cull():
     S = 256  # two 128-wide column tiles
     consts = PR.pack_constants(fv, tex, tex)
     spans, masks = PR.compute_chunk_info(consts, S, 0.05)
-    spans, masks = np.asarray(spans), np.asarray(masks)
     nc = consts.shape[1] // PR.FF
+    spans, masks = _unflatten(spans, masks, S, min(PR.TC, S), nc)
     left = sum(bool(_decode(spans, masks, 0, r, 0, nc))
                for r in range(spans.shape[1]))
     right = sum(bool(_decode(spans, masks, 0, r, 1, nc))
