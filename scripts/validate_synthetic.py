@@ -47,6 +47,14 @@ def main():
                     help="prior_deform=False: anchor the canonical frame to "
                          "the duo prior (identifiable rotations)")
     ap.add_argument("--iters_eval_stride", type=int, default=2)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="synthetic instance-family seed (different seeds = "
+                         "different object instances)")
+    ap.add_argument("--warm_start_path", type=str, default="",
+                    help="orbax ckpt dir of a previous run: init the "
+                         "encoder (backbone+featnet+stats) from it — the "
+                         "in-sandbox analog of the reference's pretrained "
+                         "ImageNet/DINO encoder (VERDICT r2 item 9)")
     args = ap.parse_args()
 
     if args.platform:
@@ -68,6 +76,8 @@ def main():
 
     name = args.name or ("duo"
                          + ("-frozen" if args.freeze_prior else "")
+                         + ("-warm" if args.warm_start_path else "")
+                         + (f"-seed{args.seed}" if args.seed else "")
                          + ("-" + args.ablate if args.ablate else ""))
     small = args.img_size <= 64
     cfg = Config(
@@ -91,7 +101,8 @@ def main():
         use_pallas=jax.default_backend() != "cpu",
         checkpoint_dir=run_dir, name=name,
         save_freq=10 ** 9, vis_freq=10 ** 9, batch_log_interval=50,
-        num_workers=4, seed=0,
+        num_workers=4, seed=args.seed,
+        warm_start_path=args.warm_start_path,
     )
     for key in [k for k in args.ablate.split(",") if k]:
         cfg = cfg.replace(**{ABLATABLE[key]: 0.0})
@@ -115,7 +126,7 @@ def main():
     # training on 4 videos cannot show the latter)
     from selfcorr_tpu.data.synthetic import SyntheticTest
     dataset = SyntheticTest(tcfg, num_videos=4, frames_per_video=24,
-                            seed=0, shape="duo")
+                            seed=args.seed, shape="duo")
     import selfcorr_tpu.eval.tester as tester_mod
     orig = tester_mod.make_test_dataset
     tester_mod.make_test_dataset = lambda c: dataset

@@ -91,6 +91,11 @@ class Config:
     # scripts/train.sh auto-detects the pretrain/ directory convention)
     resnet_init_path: str = ""            # torchvision resnet18 .pth
     dino_init_path: str = ""              # dino_deitsmall8_pretrain.pth
+    warm_start_path: str = ""             # orbax ckpt dir of a previous run:
+                                          # init backbone+featnet (+stats)
+                                          # from it (encoder transfer — the
+                                          # in-sandbox analog of the
+                                          # reference's pretrained encoder)
 
     # infra
     train: bool = True

@@ -24,16 +24,35 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 def resize_nearest(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
-    """(..., H, W, C) -> (..., h, w, C), torch nearest convention i*H/h floored."""
+    """(..., H, W, C) -> (..., h, w, C), torch nearest convention i*H/h floored.
+
+    Integer-factor UPSAMPLES use jnp.repeat (broadcast-reshape; identical
+    indices: floor(i/s) == i//s): 2.9 vs 7.0 ms fwd+bwd measured against
+    the generic gather at the match-map shape (64 -> 256, on the
+    match_loss gradient path — the gather's VJP is a lane-serial
+    scatter-add). Integer DOWNSAMPLES deliberately keep the gather:
+    strided slices measured 4x SLOWER than gathers on lane-heavy tensors
+    (relayouts), see resize_bilinear's note.
+    """
     h_in, w_in = img.shape[-3], img.shape[-2]
     h, w = out_hw
+    if h % h_in == 0 and w % w_in == 0 and (h > h_in or w > w_in):
+        return jnp.repeat(jnp.repeat(img, h // h_in, axis=-3),
+                          w // w_in, axis=-2)
     ri = jnp.floor(jnp.arange(h) * (h_in / h)).astype(jnp.int32)
     ci = jnp.floor(jnp.arange(w) * (w_in / w)).astype(jnp.int32)
     return img[..., ri[:, None], ci[None, :], :]
 
 
 def resize_bilinear(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
-    """Half-pixel-centres bilinear (torch align_corners=False), NHWC."""
+    """Half-pixel-centres bilinear (torch align_corners=False), NHWC.
+
+    Measured-and-rejected (v5e, (64,64,64,642) pointcorr half-res shape,
+    fwd+bwd): strided-slice+average reformulation of the 2x downsample
+    38.9 ms (strided slices relayout the 642-lane tensor), reshape+pool
+    9.7 ms vs jax.image.resize's 10.5 ms — the generic path is already at
+    the bandwidth bound, so it stays.
+    """
     shape = img.shape[:-3] + (out_hw[0], out_hw[1], img.shape[-1])
     return jax.image.resize(img, shape, method="bilinear", antialias=False)
 

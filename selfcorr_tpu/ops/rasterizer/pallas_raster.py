@@ -657,6 +657,22 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
             dseg2 = g["dseg2"]
 
             contribs = []  # list of (slot, (FF,TR,tc) value) to accumulate
+            reduced = {}  # slot -> pre-reduced (FF, 1) column
+
+            def basis_reduce(v, sx, sy, s1):
+                # The affine-coefficient cotangents are v*{x, y, 1} summed
+                # over pixels; x is constant along sublanes and y along
+                # lanes, so ONE row-sum + ONE col-sum of v serve all three:
+                #   sum v*x = sum_c x_c * (sum_r v),  sum v*y symmetric.
+                # Replaces 2 full-rank multiplies + 3 two-step reduces per
+                # group with 2 full-rank reduces + tiny tails (~15% of the
+                # bwd kernel at flagship shapes).
+                vr = jnp.sum(v, axis=1, keepdims=True)     # (FF, 1, TC)
+                vc = jnp.sum(v, axis=2, keepdims=True)     # (FF, TR, 1)
+                reduced[sx] = jnp.sum(vr * xs, axis=2)     # (FF, 1)
+                reduced[sy] = jnp.sum(vc * ys, axis=1)
+                reduced[s1] = jnp.sum(vr, axis=2)
+
             chosen = None
             for e in range(3):
                 l2_e, s_e, t_e, e2_e, d2_e = seg_cache[e]
@@ -672,15 +688,13 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
                 f_e = dL_ddis2 * sel
                 t_used = jnp.where(inside, s_e, t_e)
                 ds_raw = f_e * (-2.0 * t_used * e2_e)
-                contribs.append((S_SEG + 3 * e + 0, ds_raw * xs))
-                contribs.append((S_SEG + 3 * e + 1, ds_raw * ys))
-                contribs.append((S_SEG + 3 * e + 2, ds_raw))
+                basis_reduce(ds_raw, S_SEG + 3 * e + 0, S_SEG + 3 * e + 1,
+                             S_SEG + 3 * e + 2)
                 de2 = jnp.where(inside, -s_e * s_e,
                                 t_e * t_e - 2.0 * t_e * s_e)
                 contribs.append((S_E2 + e, f_e * de2))
-                contribs.append((S_PC + 3 * e + 0, f_e * xs))
-                contribs.append((S_PC + 3 * e + 1, f_e * ys))
-                contribs.append((S_PC + 3 * e + 2, f_e))
+                basis_reduce(f_e, S_PC + 3 * e + 0, S_PC + 3 * e + 1,
+                             S_PC + 3 * e + 2)
 
             contribs.append((S_IZ + 0, dL_diz0))
             contribs.append((S_IZ + 1, dL_diz1))
@@ -703,7 +717,7 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
             # reduce over pixels, assemble the (FF, K) slot matrix in one
             # shot (static layout -> a single concatenated write, no
             # per-slot lane scatters), and accumulate into the grad block
-            slot_vals = {}
+            slot_vals = dict(reduced)
             for slot, vals in contribs:
                 # two-step reduce (lanes then sublanes) -> (FF, 1); a fused
                 # axis=(1,2) keepdims reduce trips Mosaic layout inference

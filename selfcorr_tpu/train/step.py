@@ -60,6 +60,9 @@ def init_state(cfg: Config, constants: MeshConstants, rng) -> TrainState:
         # valid (same tree/shapes, Adam moments start at zero either way)
         from selfcorr_tpu.utils.weight_convert import load_pretrained_init
         state = load_pretrained_init(cfg, state)
+    if cfg.warm_start_path:
+        from selfcorr_tpu.utils.weight_convert import load_warm_start
+        state = load_warm_start(cfg, state)
     return state
 
 

@@ -305,3 +305,28 @@ def load_reference_ckpt(path: str, state):
     new_params["net"] = new_net
     new_params["mean_v"] = mean_v
     return state._replace(params=new_params, batch_stats=new_stats)
+
+
+def load_warm_start(cfg, state):
+    """Encoder transfer from a previous run's orbax checkpoint
+    (cfg.warm_start_path): copies params['net']['backbone'] +
+    params['net']['featnet'] + the backbone/featnet batch_stats into a
+    fresh TrainState, leaving heads/optimizer/mean_v at init.
+
+    The in-sandbox analog of the reference's pretrained-encoder recipe
+    (image_encoder.py:121 resnet18(pretrained=True)): no ImageNet download
+    exists here, so 'pretrained' features come from a prior synthetic run
+    on a DIFFERENT instance family (see scripts/validate_synthetic.py
+    --warm_start_path). Shapes must match (same n_corr_feat/img topology).
+    """
+    from selfcorr_tpu.utils import checkpoint as ckpt
+    src = ckpt.restore_state(cfg.warm_start_path, state)
+    params = dict(state.params)
+    new_net = dict(params["net"])
+    new_stats = dict(state.batch_stats)
+    for mod in ("backbone", "featnet"):
+        new_net[mod] = src.params["net"][mod]
+        if mod in src.batch_stats:
+            new_stats[mod] = src.batch_stats[mod]
+    params["net"] = new_net
+    return state._replace(params=params, batch_stats=new_stats)

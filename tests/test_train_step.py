@@ -160,3 +160,44 @@ def test_compress_roundtrip(setup):
                        jax.random.PRNGKey(11))
     np.testing.assert_allclose(float(m_cmp["total_loss"]),
                                float(m_f32["total_loss"]), rtol=2e-2)
+
+
+def test_warm_start_encoder_transfer(tmp_path):
+    """cfg.warm_start_path initializes backbone+featnet (+stats) from a
+    previous run's orbax checkpoint while heads/mean_v stay fresh (the
+    in-sandbox analog of the reference's pretrained encoder,
+    image_encoder.py:121)."""
+    import jax
+    from selfcorr_tpu.models.meshnet import build_mesh_constants
+    from selfcorr_tpu.train.step import init_state
+    from selfcorr_tpu.utils import checkpoint as ckpt
+
+    cfg = tiny_cfg()
+    constants = build_mesh_constants(cfg)
+    src = init_state(cfg, constants, jax.random.PRNGKey(7))
+    ckpt_dir = str(tmp_path / "src_ckpt")
+    ckpt.save_state(ckpt_dir, src, 5)
+
+    warm = init_state(cfg.replace(warm_start_path=ckpt_dir), constants,
+                      jax.random.PRNGKey(8))
+    fresh = init_state(cfg, constants, jax.random.PRNGKey(8))
+
+    def leaves(tree):
+        return jax.tree_util.tree_leaves(tree)
+
+    for a, b in zip(leaves(warm.params["net"]["backbone"]),
+                    leaves(src.params["net"]["backbone"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(leaves(warm.params["net"]["featnet"]),
+                    leaves(src.params["net"]["featnet"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # heads stay at the fresh init (key 8), not the source's (key 7)
+    pose_w = leaves(warm.params["net"]["pose_predictor"])
+    pose_f = leaves(fresh.params["net"]["pose_predictor"])
+    for a, b in zip(pose_w, pose_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and at least one head leaf differs from the source run (zero-init
+    # biases are legitimately equal everywhere)
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(pose_w, leaves(src.params["net"]["pose_predictor"])))
