@@ -201,3 +201,27 @@ def test_warm_start_encoder_transfer(tmp_path):
     assert any(
         not np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(pose_w, leaves(src.params["net"]["pose_predictor"])))
+
+
+def test_static_ablation_skips_run_and_zero_aux():
+    """Zero-weighted loss terms are skipped at trace time (cfg is static
+    under jit) but keep their aux keys as zeros, so ablation configs train
+    with identical metric schemas (PERF.md round-3 matrix relies on this)."""
+    import jax
+    from selfcorr_tpu.models.meshnet import build_mesh_constants, forward_train
+    from selfcorr_tpu.train.step import init_state
+
+    cfg = tiny_cfg(symmetry_wt=0.0, cycle_loss_wt=0.0,
+                   cycle_loss_pretrain_wt=0.0, tex_wt=0.0,
+                   match_wt=0.0, imatch_wt=0.0)
+    constants = build_mesh_constants(cfg)
+    state = init_state(cfg, constants, jax.random.PRNGKey(0))
+    batch = synthetic_batch(cfg)
+    (loss, (aux, _)) = jax.jit(
+        lambda p: forward_train(p, state.batch_stats, state.dino_params,
+                                batch, constants, jax.random.PRNGKey(1),
+                                cfg, state.step))(state.params)
+    assert np.isfinite(float(loss))
+    for k in ("symmetry_loss", "cycle_loss", "cycle_loss_pretrain",
+              "texture_loss", "match_loss", "imatch_loss"):
+        assert float(aux[k]) == 0.0, k
