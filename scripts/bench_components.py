@@ -8,7 +8,7 @@ iteration chains through its predecessor and intervals end with one scalar
 fetch; best of 3 intervals amortizes tunnel hiccups.
 
 Run solo on the TPU: python scripts/bench_components.py [component ...]
-Components: symmetry dino encoder corr step  (default: all)
+Components: symmetry dino encoder corr step base  (default: all)
 """
 from __future__ import annotations
 
@@ -138,6 +138,60 @@ def bench_step():
 
 ALL = dict(symmetry=bench_symmetry, dino=bench_dino, encoder=bench_encoder,
            corr=bench_corr, step=bench_step)
+
+def bench_base():
+    """The non-model step residuals: optimizer update (clip + 5-group
+    AdamW over the full param tree), mask pyramid loss, and preprocess
+    (jitter + normalize) — the 'base' ~60 ms the ablation matrix cannot
+    subtract (PERF.md round-3)."""
+    import bench
+    from selfcorr_tpu.models.meshnet import (build_mesh_constants, preprocess)
+    from selfcorr_tpu.train.optim import make_optimizer, clip_and_guard
+    from selfcorr_tpu.train.step import init_state
+    from selfcorr_tpu.losses import mask_pyramid_loss
+
+    cfg = _cfg()
+    constants = build_mesh_constants(cfg)
+    state = init_state(cfg, constants, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg, state.params)
+    opt_state = tx.init(state.params)
+    grads = jax.tree_util.tree_map(lambda x: x * 1e-3, state.params)
+
+    @jax.jit
+    def f_opt(params):
+        g, norms, bad = clip_and_guard(grads)
+        updates, _ = tx.update(g, opt_state, params)
+        import optax
+        new = optax.apply_updates(params, updates)
+        return new
+
+    t = time_chained(f_opt, state.params, iters=10)
+    print(f"optimizer update (clip + AdamW, full tree): {t:.1f} ms")
+
+    rng = np.random.RandomState(0)
+    mask = jnp.asarray((rng.rand(32, 256, 256) > 0.5).astype(np.float32))
+    render = jnp.asarray(rng.rand(32, 256, 256).astype(np.float32))
+
+    @jax.jit
+    def f_pyr(render):
+        l, g = jax.value_and_grad(
+            lambda r: mask_pyramid_loss(mask, r, None).mean())(render)
+        return render + 1e-30 * (l + g.mean())
+
+    print(f"mask pyramid fwd+bwd (B=32): {time_chained(f_pyr, render, iters=10):.1f} ms")
+
+    img = jnp.asarray(rng.rand(32, 256, 256, 3).astype(np.float32))
+
+    @jax.jit
+    def f_pre(img):
+        y = preprocess(jax.random.PRNGKey(0), img, True)
+        return img + 1e-30 * y.mean()
+
+    print(f"preprocess jitter+normalize (B=32): {time_chained(f_pre, img, iters=10):.1f} ms")
+
+
+ALL["base"] = bench_base
+
 
 if __name__ == "__main__":
     from selfcorr_tpu.utils.jit_cache import enable

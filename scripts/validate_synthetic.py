@@ -100,7 +100,7 @@ def main():
         vert_lr_ratio=0.01, cam_lr_ratio=0.1,
         use_pallas=jax.default_backend() != "cpu",
         checkpoint_dir=run_dir, name=name,
-        save_freq=10 ** 9, vis_freq=10 ** 9, batch_log_interval=50,
+        save_freq=500, vis_freq=10 ** 9, batch_log_interval=50,
         num_workers=4, seed=args.seed,
         warm_start_path=args.warm_start_path,
     )
