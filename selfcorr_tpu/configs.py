@@ -152,15 +152,18 @@ class Config:
     ransac_iters: int = 100
     pose_fit_max_points: int = 16384      # padded point budget for pose fit
     use_pallas: bool = True
-    dino_bf16: bool = False  # bfloat16 frozen-DINO trunk. Measured TWICE as
-                             # a trap: the ISOLATED trunk forward is ~1.4x
-                             # faster in bf16 (57.5 -> 40.4 ms, v5e flagship
-                             # shapes), but inside the full train-step
-                             # program the bf16 variant is ~22 ms SLOWER
-                             # (319.7 f32 vs 341.7 bf16, round-3) — the
-                             # per-step param cast + layout conversions eat
-                             # the MXU gain. Keep False; re-measure in-step
-                             # before ever flipping.
+    dino_bf16: bool = False  # bfloat16 frozen-DINO trunk. Measured THREE
+                             # times as a trap: the ISOLATED trunk forward is
+                             # ~1.4x faster in bf16 (57.5 -> 40.4 ms, v5e
+                             # flagship shapes), but the full train step is
+                             # ~20 ms SLOWER — 319.7 f32 vs 341.7 bf16 with
+                             # per-step param casts (round-3), and STILL
+                             # 314.4 vs 334.7 with the params cast ONCE at
+                             # rest in init_state (scripts/ab_dino_bf16.py),
+                             # so the loss is the bf16<->f32 boundary
+                             # structure around the trunk, not the casts.
+                             # Keep False; re-measure in-step before ever
+                             # flipping.
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -63,6 +63,13 @@ def init_state(cfg: Config, constants: MeshConstants, rng) -> TrainState:
     if cfg.warm_start_path:
         from selfcorr_tpu.utils.weight_convert import load_warm_start
         state = load_warm_start(cfg, state)
+    if cfg.dino_bf16:
+        # the trunk is frozen, so cast ONCE at rest: the in-step
+        # tree_map(astype(bf16)) in forward_train then compiles to a no-op
+        # and the program carries a single dtype through the trunk instead
+        # of per-step f32->bf16 param casts + layout conversions.
+        state = state._replace(dino_params=jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), state.dino_params))
     return state
 
 

@@ -92,6 +92,30 @@ def test_one_train_step(setup):
         np.asarray(jax.tree_util.tree_leaves(state.dino_params)[0]))
 
 
+def test_dino_bf16_at_rest(setup):
+    """dino_bf16 stores the frozen trunk in bfloat16 at init (one cast at
+    rest; the in-step astype compiles to a no-op) and the step still runs
+    finite with a loss close to the f32 program's."""
+    cfg_f32, constants, state_f32 = setup
+    cfg = cfg_f32.replace(dino_bf16=True)
+    state = init_state(cfg, constants, jax.random.PRNGKey(0))
+    for leaf in jax.tree_util.tree_leaves(state.dino_params):
+        assert leaf.dtype == jnp.bfloat16
+    tx = make_optimizer(cfg, state.params)
+    step_fn = make_train_step(cfg, constants, tx, donate=False)
+    batch = synthetic_batch(cfg)
+    _, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert float(metrics["bad_grad"]) == 0.0
+    assert np.isfinite(float(metrics["total_loss"]))
+    # same init seed -> bf16 trunk features only perturb the cycle loss a
+    # little; the totals must be close
+    tx32 = make_optimizer(cfg_f32, state_f32.params)
+    step32 = make_train_step(cfg_f32, constants, tx32, donate=False)
+    _, m32 = step32(state_f32, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics["total_loss"]),
+                               float(m32["total_loss"]), rtol=0.05)
+
+
 def test_mean_v_updates_only_with_prior_deform(setup):
     cfg, constants, state = setup
     # sphere prior always trains (mesh.py:116); an OBJ shape prior with
