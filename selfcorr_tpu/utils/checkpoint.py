@@ -41,6 +41,21 @@ def restore_state(ckpt_dir: str, template: TrainState,
     return TrainState(**restored)
 
 
+def restore_raw(ckpt_dir: str, step: int | None = None) -> dict:
+    """Restore a checkpoint AS STORED (shapes/dtypes from its metadata, no
+    template) — for cross-config transfer where only a subtree must match
+    the live state (e.g. load_warm_start pulling a 128^2 run's encoder into
+    a 256^2 init: the stored DINO pos-embedding has a different token count
+    and must not be shape-checked)."""
+    mgr = _manager(ckpt_dir)
+    step = mgr.latest_step() if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
+    restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    mgr.close()
+    return restored
+
+
 def latest_step(ckpt_dir: str) -> int | None:
     if not os.path.isdir(ckpt_dir):
         return None

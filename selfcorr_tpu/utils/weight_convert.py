@@ -317,16 +317,19 @@ def load_warm_start(cfg, state):
     (image_encoder.py:121 resnet18(pretrained=True)): no ImageNet download
     exists here, so 'pretrained' features come from a prior synthetic run
     on a DIFFERENT instance family (see scripts/validate_synthetic.py
-    --warm_start_path). Shapes must match (same n_corr_feat/img topology).
+    --warm_start_path). Only the copied encoder subtrees must match shapes
+    (same n_corr_feat); the rest of the checkpoint — including a
+    different-resolution DINO pos-embedding — is restored as stored and
+    ignored (checkpoint.restore_raw).
     """
     from selfcorr_tpu.utils import checkpoint as ckpt
-    src = ckpt.restore_state(cfg.warm_start_path, state)
+    src = ckpt.restore_raw(cfg.warm_start_path)
     params = dict(state.params)
     new_net = dict(params["net"])
     new_stats = dict(state.batch_stats)
     for mod in ("backbone", "featnet"):
-        new_net[mod] = src.params["net"][mod]
-        if mod in src.batch_stats:
-            new_stats[mod] = src.batch_stats[mod]
+        new_net[mod] = src["params"]["net"][mod]
+        if mod in src["batch_stats"]:
+            new_stats[mod] = src["batch_stats"][mod]
     params["net"] = new_net
     return state._replace(params=params, batch_stats=new_stats)
