@@ -226,6 +226,17 @@ def test_warm_start_encoder_transfer(tmp_path):
         not np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(pose_w, leaves(src.params["net"]["pose_predictor"])))
 
+    # cross-RESOLUTION transfer: a checkpoint from a different img_size has
+    # a different DINO pos-embedding token count; restore_raw must not
+    # shape-check it (the conv encoder subtrees are resolution-agnostic)
+    cfg_big = tiny_cfg(img_size=64, corr_h=16, corr_w=16)
+    const_big = build_mesh_constants(cfg_big)
+    warm_big = init_state(cfg_big.replace(warm_start_path=ckpt_dir),
+                          const_big, jax.random.PRNGKey(9))
+    for a, b in zip(leaves(warm_big.params["net"]["backbone"]),
+                    leaves(src.params["net"]["backbone"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_static_ablation_skips_run_and_zero_aux():
     """Zero-weighted loss terms are skipped at trace time (cfg is static
