@@ -161,11 +161,14 @@ def dino_pair_match(src_feat, tgt_feat, src_mask, tgt_mask, grid, k: int):
     return pts_src, pts_tgt, idx_src, idx, match_mask
 
 
-def dino_cycle_loss(feat_pairs, mask_pairs, dw_pairs, pc_pairs,
-                    meshgrid, tau_img: float, tau_mesh: float,
-                    hf: int, wf: int, k: int):
-    """Transport DINO pixel matches through the model's pointcorr
-    (pretrained_corr.py:107-140).
+def dino_cycle_loss_dense(feat_pairs, mask_pairs, dw_pairs, pc_pairs,
+                          meshgrid, tau_img: float, tau_mesh: float,
+                          hf: int, wf: int, k: int):
+    """DENSE ground truth for `dino_cycle_loss` — a literal transcription of
+    the reference transport (pretrained_corr.py:107-140) that materializes
+    the (B, P, Q) corr matrix. Kept only as the oracle for
+    tests/test_dino_cycle.py; the train/vis paths use the factored
+    `dino_cycle_loss` below, which is algebraically identical.
 
     feat_pairs = (src_feat, tgt_feat): frozen DINO features (B, Q, C) already
     divided by the pairing fn — the features are computed ONCE per image and
@@ -205,6 +208,93 @@ def dino_cycle_loss(feat_pairs, mask_pairs, dw_pairs, pc_pairs,
 
     match = jnp.einsum("bpq,bpk->bqk", corr, grid_half)  # (B, Q, 2)
     match_sel = jnp.take_along_axis(match, idx_tgt[..., None], axis=1)
+
+    loss = (jnp.linalg.norm(match_sel - pts_src, axis=-1) * mmask).mean()
+    vis = dict(pts_src=pts_src, pts_tgt=pts_tgt, match=match_sel, mask=mmask)
+    return loss, vis
+
+
+def dino_cycle_loss(feat_pairs, mask_pairs, dw_pairs, imgfeat_pairs,
+                    meshfeat_pairs, meshgrid, tau_img: float, tau_mesh: float,
+                    hf: int, wf: int, k: int):
+    """Transport DINO pixel matches through the model's pointcorr
+    (pretrained_corr.py:107-140), in factored form.
+
+    Algebraically identical to `dino_cycle_loss_dense` (the reference
+    transcription, pinned by tests/test_dino_cycle.py) but never builds the
+    (B, P, Q) corr matrix or the half-res (B, P, N) tgt volume:
+
+    1. The reference bilinearly downsamples the masked cost volume
+       pc = img_feat . mesh_feat + NEG*off (pretrained_corr.py:119-122). Any
+       linear resize commutes with the channel contraction, so we resize the
+       (masked) C-dim img features and the off-mask fraction instead of the
+       N-dim volume — ~N/C (642/64) times less resize traffic, exact.
+    2. The tgt-side softmax (axis=n) is row-independent and the loss only
+       reads the k mutual-match rows (the reference computes all Q then
+       gathers, pretrained_corr.py:137-138) — so gather the k pooled feature
+       rows FIRST. Gradient-identical: the dropped rows never reach the loss.
+    3. corr[p,q] = sum_n pc_mesh[p,n] pc_img[q,n], normalized by its column
+       sum then contracted with the 2-col grid (pretrained_corr.py:130-138).
+       Contract n first: match[q] = (pc_img[q] @ G) / (pc_img[q] @ s + 1e-5)
+       with G = pc_mesh^T grid (B,N,2), s = sum_p pc_mesh (B,N) — the
+       (B,P,Q) product is never materialized in fwd or bwd.
+
+    feat_pairs = (src_feat, tgt_feat): frozen DINO features (B, Q, C),
+    computed once per image and permuted (see dense docstring).
+    imgfeat_pairs / meshfeat_pairs: the MODEL's normalized image features
+    (B, P, Cm) and mesh features (B, N, Cm) per side — the factors of the
+    full-res pointcorr built in dual_softmax_match. Returns (loss, vis dict).
+    """
+    src_feat, tgt_feat = feat_pairs
+    mask_src, mask_tgt = mask_pairs
+    dw_src, dw_tgt = dw_pairs
+    if_src, if_tgt = imgfeat_pairs
+    mf_src, mf_tgt = meshfeat_pairs
+    b = src_feat.shape[0]
+    h2, w2 = hf // 2, wf // 2
+
+    grid_map = meshgrid.reshape(hf, wf, 2)[None]
+    grid_half = resize_bilinear(grid_map, (h2, w2))
+    grid_half = jnp.broadcast_to(grid_half, (b, h2, w2, 2)).reshape(b, -1, 2)
+
+    pts_src, pts_tgt, idx_src, idx_tgt, mmask = dino_pair_match(
+        src_feat, tgt_feat, mask_src, mask_tgt, grid_half, k)
+
+    def pooled_factors(img_feat, mask):
+        """Half-res (masked img feature, off-mask fraction) such that
+        pooled_pc = pif @ mesh_feat^T + NEG * poff."""
+        on = resize_nearest(mask[..., None], (hf, wf)).reshape(b, -1) > 0
+        ifm = (img_feat * on[..., None]).reshape(b, hf, wf, -1)
+        pif = resize_bilinear(ifm, (h2, w2)).reshape(b, h2 * w2, -1)
+        poff = resize_bilinear(
+            (~on).astype(jnp.float32).reshape(b, hf, wf, 1),
+            (h2, w2)).reshape(b, h2 * w2)
+        return pif, poff
+
+    # src side: full half-res volume (softmax normalizes over ALL src pixels)
+    pif_s, poff_s = pooled_factors(if_src, mask_src)
+    pcs = (jnp.einsum("bpc,bnc->bpn", pif_s, mf_src,
+                      preferred_element_type=jnp.float32)
+           + NEG * poff_s[..., None])
+    pc_mesh = jax.nn.softmax(tau_mesh * pcs, axis=1)
+    pc_mesh = pc_mesh * (dw_src[:, None, :] >= 0.5)
+    g_mat = jnp.einsum("bpn,bpk->bnk", pc_mesh, grid_half,
+                       preferred_element_type=jnp.float32)   # (B, N, 2)
+    s_vec = pc_mesh.sum(axis=1)                              # (B, N)
+
+    # tgt side: only the k selected rows survive to the loss
+    pif_t, poff_t = pooled_factors(if_tgt, mask_tgt)
+    pif_sel = jnp.take_along_axis(pif_t, idx_tgt[..., None], axis=1)
+    poff_sel = jnp.take_along_axis(poff_t, idx_tgt, axis=1)
+    pct_sel = (jnp.einsum("bkc,bnc->bkn", pif_sel, mf_tgt,
+                          preferred_element_type=jnp.float32)
+               + NEG * poff_sel[..., None])
+    pc_img_sel = jax.nn.softmax(tau_img * pct_sel, axis=2)
+    pc_img_sel = pc_img_sel * (dw_tgt[:, None, :] >= 0.5)
+
+    num = jnp.einsum("bkn,bnj->bkj", pc_img_sel, g_mat)
+    den = jnp.einsum("bkn,bn->bk", pc_img_sel, s_vec)
+    match_sel = num / (den[..., None] + 1e-5)
 
     loss = (jnp.linalg.norm(match_sel - pts_src, axis=-1) * mmask).mean()
     vis = dict(pts_src=pts_src, pts_tgt=pts_tgt, match=match_sel, mask=mmask)

@@ -310,10 +310,12 @@ def forward_train(params, batch_stats, dino_params, batch, constants:
         dino_feat = jax.lax.stop_gradient(
             dino_feat.reshape(b, -1, dino_feat.shape[-1]))
 
+        # factored transport: pass the pointcorr FACTORS (img/mesh features)
+        # instead of the materialized volume — see dino_cycle_loss docstring
         cyc_pt, _ = corr.dino_cycle_loss(
             divide(dino_feat, bs, rep), divide(mask, bs, rep),
-            divide(r["depth_weight"], bs, rep), divide(pointcorr, bs, rep),
-            meshgrid, cfg.tau_img, cfg.tau_mesh,
+            divide(r["depth_weight"], bs, rep), divide(img_feat, bs, rep),
+            divide(mesh_feat, bs, rep), meshgrid, cfg.tau_img, cfg.tau_mesh,
             cfg.corr_h, cfg.corr_w, cfg.pretrain_k)
         cyc_pt = w["cycle_pt"] * cyc_pt
     else:
@@ -420,7 +422,7 @@ def forward_vis(params, batch_stats, dino_params, batch,
     dino_feat = dino.apply({"params": dino_params}, img[:2])
     dino_feat = dino_feat.reshape(2, -1, dino_feat.shape[-1])
     src_f, tgt_f = dino_feat[0:1], dino_feat[1:2]
-    _, dino_vis = corr.dino_cycle_loss(
+    _, dino_vis = corr.dino_cycle_loss_dense(
         (src_f, tgt_f), (mask[0:1], mask[1:2]),
         (r["depth_weight"][0:1], r["depth_weight"][1:2]),
         (out["pointcorr"][0:1], out["pointcorr"][1:2]),

@@ -1,0 +1,97 @@
+"""Pin the factored DINO cycle-loss transport against the dense reference
+transcription (pretrained_corr.py:107-140).
+
+`dino_cycle_loss` never materializes the (B, P, Q) corr matrix or the
+half-res tgt volume; `dino_cycle_loss_dense` is the literal transcription.
+They must agree in value AND in gradients wrt the model's image/mesh
+features (the only differentiable inputs — DINO feats are frozen and only
+reach the loss through argmax indices).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from selfcorr_tpu.models import correspondence as corr
+from selfcorr_tpu.ops.image_ops import resize_nearest
+
+
+HF = WF = 8          # model feature res
+H = W = 16           # full image res
+N = 13               # mesh vertices
+CM = 5               # model feature dim
+CD = 6               # frozen DINO feature dim
+K = 3
+B = 2                # pairs per side
+TAU_I, TAU_M = 10.0, 15.0
+
+
+def _inputs(seed=0):
+    rng = np.random.RandomState(seed)
+    feats = tuple(jnp.asarray(rng.randn(B, (HF // 2) * (WF // 2), CD)
+                              .astype(np.float32)) for _ in range(2))
+    # blobby masks with both on and off pixels on every frame
+    masks = []
+    for _ in range(2):
+        m = np.zeros((B, H, W), np.float32)
+        for b in range(B):
+            y0, x0 = rng.randint(0, 6, 2)
+            m[b, y0:y0 + 9, x0:x0 + 9] = 1.0
+        masks.append(jnp.asarray(m))
+    dws = tuple(jnp.asarray(rng.rand(B, N).astype(np.float32))
+                for _ in range(2))
+    ifs = tuple(jnp.asarray(rng.randn(B, HF * WF, CM).astype(np.float32))
+                for _ in range(2))
+    mfs = tuple(jnp.asarray(rng.randn(B, N, CM).astype(np.float32))
+                for _ in range(2))
+    return feats, tuple(masks), dws, ifs, mfs
+
+
+def _dense_loss(ifs, mfs, feats, masks, dws, meshgrid):
+    pcs = []
+    for side in range(2):
+        md = resize_nearest(masks[side][..., None], (HF, WF)).reshape(B, -1)
+        pcs.append(corr.masked_cost_volume(ifs[side], mfs[side], md))
+    loss, vis = corr.dino_cycle_loss_dense(
+        feats, masks, dws, tuple(pcs), meshgrid, TAU_I, TAU_M, HF, WF, K)
+    return loss, vis
+
+
+def _fact_loss(ifs, mfs, feats, masks, dws, meshgrid):
+    return corr.dino_cycle_loss(
+        feats, masks, dws, ifs, mfs, meshgrid, TAU_I, TAU_M, HF, WF, K)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_factored_matches_dense_value_and_vis(seed):
+    feats, masks, dws, ifs, mfs = _inputs(seed)
+    meshgrid = corr.make_meshgrid(HF, WF)
+    ld, vd = _dense_loss(ifs, mfs, feats, masks, dws, meshgrid)
+    lf, vf = _fact_loss(ifs, mfs, feats, masks, dws, meshgrid)
+    # rtol 1e-3: when a selected tgt row's softmax mass lands entirely on
+    # dw-masked vertices, den ~ 0 and match = num/1e-5 amplifies fp
+    # reassociation noise (seed 2 exercises this); an algebra bug would be
+    # O(1) relative, not 1e-4
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(lf),
+                               rtol=1e-3, atol=2e-5)
+    for key in ("pts_src", "pts_tgt", "mask"):
+        np.testing.assert_array_equal(np.asarray(vd[key]), np.asarray(vf[key]))
+    np.testing.assert_allclose(np.asarray(vd["match"]),
+                               np.asarray(vf["match"]), rtol=2e-2, atol=2e-5)
+
+
+def test_factored_matches_dense_grads():
+    feats, masks, dws, ifs, mfs = _inputs(3)
+    meshgrid = corr.make_meshgrid(HF, WF)
+
+    gd = jax.grad(lambda i, m: _dense_loss(i, m, feats, masks, dws,
+                                           meshgrid)[0], argnums=(0, 1))(
+        ifs, mfs)
+    gf = jax.grad(lambda i, m: _fact_loss(i, m, feats, masks, dws,
+                                          meshgrid)[0], argnums=(0, 1))(
+        ifs, mfs)
+    for d, f in zip(jax.tree_util.tree_leaves(gd),
+                    jax.tree_util.tree_leaves(gf)):
+        assert np.asarray(jnp.abs(d)).max() > 0  # non-degenerate check
+        np.testing.assert_allclose(np.asarray(d), np.asarray(f),
+                                   rtol=2e-4, atol=2e-5)
