@@ -8,7 +8,7 @@ iteration chains through its predecessor and intervals end with one scalar
 fetch; best of 3 intervals amortizes tunnel hiccups.
 
 Run solo on the TPU: python scripts/bench_components.py [component ...]
-Components: symmetry dino encoder corr step base  (default: all)
+Components: symmetry dino encoder corr transport step base  (default: all)
 """
 from __future__ import annotations
 
@@ -129,6 +129,61 @@ def bench_corr():
     print(f"correspondence volumes fwd+bwd (B=32): {t:.1f} ms")
 
 
+def bench_transport():
+    """DINO cycle transport fwd+bwd at flagship pair shapes (B=64 pairs,
+    P=4096, N=642, k=100): dense reference transcription vs the factored
+    form (correspondence.dino_cycle_loss docstring). Grad wrt the model's
+    image features — the transport's differentiable input in the step."""
+    from selfcorr_tpu.models import correspondence as corr
+    from selfcorr_tpu.ops.image_ops import resize_nearest
+    cfg = _cfg()
+    rng = np.random.RandomState(0)
+    b, hf, wf, v, c = 64, cfg.corr_h, cfg.corr_w, 642, cfg.n_corr_feat
+    k, cd = cfg.pretrain_k, 384
+    h2w2 = (hf // 2) * (wf // 2)
+    feats = tuple(jnp.asarray(rng.randn(b, h2w2, cd).astype(np.float32))
+                  for _ in range(2))
+    masks = tuple(jnp.asarray((rng.rand(b, 256, 256) > 0.4)
+                              .astype(np.float32)) for _ in range(2))
+    dws = tuple(jnp.asarray(rng.rand(b, v).astype(np.float32))
+                for _ in range(2))
+    ifs = tuple(jnp.asarray(rng.randn(b, hf * wf, c).astype(np.float32))
+                for _ in range(2))
+    mfs = tuple(jnp.asarray(rng.randn(b, v, c).astype(np.float32))
+                for _ in range(2))
+    meshgrid = corr.make_meshgrid(hf, wf)
+
+    @jax.jit
+    def f_fact(x):
+        def loss(x):
+            l, _ = corr.dino_cycle_loss(
+                feats, masks, dws, (x, ifs[1]), mfs, meshgrid,
+                cfg.tau_img, cfg.tau_mesh, hf, wf, k)
+            return l
+        l, g = jax.value_and_grad(loss)(x)
+        return x + 1e-30 * (l + g.mean())
+
+    @jax.jit
+    def f_dense(x):
+        def loss(x):
+            pcs = []
+            for side, imf in enumerate((x, ifs[1])):
+                md = resize_nearest(
+                    masks[side][..., None], (hf, wf)).reshape(b, -1)
+                pcs.append(corr.masked_cost_volume(imf, mfs[side], md))
+            l, _ = corr.dino_cycle_loss_dense(
+                feats, masks, dws, tuple(pcs), meshgrid,
+                cfg.tau_img, cfg.tau_mesh, hf, wf, k)
+            return l
+        l, g = jax.value_and_grad(loss)(x)
+        return x + 1e-30 * (l + g.mean())
+
+    print(f"dino transport factored fwd+bwd (B=64): "
+          f"{time_chained(f_fact, ifs[0], iters=10):.1f} ms")
+    print(f"dino transport dense    fwd+bwd (B=64): "
+          f"{time_chained(f_dense, ifs[0], iters=10):.1f} ms")
+
+
 def bench_step():
     import bench
     t0 = time.time()
@@ -137,7 +192,7 @@ def bench_step():
 
 
 ALL = dict(symmetry=bench_symmetry, dino=bench_dino, encoder=bench_encoder,
-           corr=bench_corr, step=bench_step)
+           corr=bench_corr, transport=bench_transport, step=bench_step)
 
 def bench_base():
     """The non-model step residuals: optimizer update (clip + 5-group

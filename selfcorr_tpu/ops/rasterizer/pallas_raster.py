@@ -55,11 +55,10 @@ K = 64           # lanes per face in the packed constant array
 FF = 16          # faces per streamed chunk
 TR, TC = 8, 128  # pixel tile: 8 rows x 128 cols
 
-# slot offsets. Line distances need no separate coefficients: the unclamped
-# segment parameter is the perpendicular foot, so
-#   d_line^2 = |p-v0|^2 - s^2 e2      (inside pixels)
-#   d_seg^2  = |p-v0|^2 - t(2s-t) e2  (outside pixels, t = clamp(s, 0, 1))
-# share the same per-edge affine terms.
+# slot offsets. Only the SEGMENT distance is ever computed:
+#   d_seg^2 = |p-v0|^2 - t(2s-t) e2   (t = clamp(s, 0, 1), s = foot param)
+# The reference's separate inside-pixel LINE distance (kernel.cu:95-112)
+# equals it identically — see the convexity note in _chunk_geometry.
 S_WA = 0      # 9: barycentric affine coeffs (3 bary x [ax, ay, ac])
 S_SEG = 9     # 9: per-edge segment-parameter affine coeffs
 S_E2 = 18     # 3: squared edge lengths
@@ -255,7 +254,16 @@ def _chunk_geometry(cv, xs, ys, p2, sigma1, sigma2, near, far):
     inside = ((w0 > 0) & (w0 < 1) & (w1 > 0) & (w1 < 1)
               & (w2 > 0) & (w2 < 1))
 
-    dline2 = None
+    # Segment distances only: the reference semantics are min LINE distance
+    # for inside pixels / min SEGMENT distance for outside ones
+    # (kernel.cu:95-112), but for a point INSIDE a triangle the closest
+    # boundary point is always a perpendicular foot ON the minimizing edge
+    # (convexity: the perpendicular from an interior point to any edge line
+    # crosses the boundary first, so min_e dline_e = min_e dseg_e, and on
+    # the argmin edge t == clip(s) == s makes the two formulas bitwise
+    # equal: 2s-s and s*(2s-s) are exact). So dis2 = min_e dseg2_e for ALL
+    # pixels — the per-edge line distances and the inside/outside distance
+    # select are dead weight and are not computed.
     dseg2 = None
     seg_cache = []
     for e in range(3):
@@ -263,13 +271,11 @@ def _chunk_geometry(cv, xs, ys, p2, sigma1, sigma2, near, far):
         t = jnp.clip(s, 0.0, 1.0)
         pv0 = p2 + _affine(cv, S_PC + 3 * e, xs, ys)
         e2 = _cols(cv, S_E2 + e)
-        l2 = jnp.maximum(pv0 - s * s * e2, 0.0)          # line distance^2
         d2 = jnp.maximum(pv0 - t * (2.0 * s - t) * e2, 0.0)  # segment dist^2
-        dline2 = l2 if dline2 is None else jnp.minimum(dline2, l2)
-        seg_cache.append((l2, s, t, e2, d2))
+        seg_cache.append((s, t, e2, d2))
         dseg2 = d2 if dseg2 is None else jnp.minimum(dseg2, d2)
 
-    dis2 = jnp.where(inside, dline2, dseg2)
+    dis2 = dseg2
     sign = jnp.where(inside, 1.0, -1.0)
 
     contrib1 = inside | (dis2 < sigma1 * C.DIST_CUT)
@@ -311,7 +317,7 @@ def _chunk_geometry(cv, xs, ys, p2, sigma1, sigma2, near, far):
     return dict(w=(w0, w1, w2), inside=inside, dis2=dis2, sign=sign,
                 contrib1=contrib1, contrib2=contrib2, D1=d1, D2=d2_,
                 wc=(c0, c1, c2), zp=zp, z_ok=z_ok, zn=zn,
-                dline2=dline2, seg_cache=seg_cache, dseg2=dseg2)
+                seg_cache=seg_cache, dseg2=dseg2)
 
 
 def _surface_texel_sel(c0, c1, res):
@@ -648,12 +654,13 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
             dL_diz1 = -dL_dzp * zp2 * c1
             dL_diz2 = -dL_dzp * zp2 * c2
 
-            # --- dis2 -> per-edge coefficient grads (unified line/segment:
-            # d_line^2 = P - s^2 e2, d_seg^2 = P - t(2s-t) e2, so both cases
-            # share dd2/ds = -2 t_used e2 with t_used = s (inside) / t)
-            inside = g["inside"]
+            # --- dis2 -> per-edge coefficient grads. dis2 = min_e dseg2_e
+            # for ALL pixels (see _chunk_geometry: for inside pixels the
+            # minimizing edge's foot is on the segment, so line == segment
+            # there). On that edge t == s for inside pixels, so the clamped
+            # forms below ARE the line-case gradients where they apply:
+            # dd2/ds = -2 t e2, dd2/de2 = t^2 - 2ts (== -s^2 when t == s).
             seg_cache = g["seg_cache"]
-            dline2 = g["dline2"]
             dseg2 = g["dseg2"]
 
             contribs = []  # list of (slot, (FF,TR,tc) value) to accumulate
@@ -675,23 +682,20 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
 
             chosen = None
             for e in range(3):
-                l2_e, s_e, t_e, e2_e, d2_e = seg_cache[e]
-                # logical blend, not where(): Mosaic lacks i1 select lowering
-                is_min = ((inside & (l2_e == dline2))
-                          | ((~inside) & (d2_e == dseg2)))
+                s_e, t_e, e2_e, d2_e = seg_cache[e]
+                is_min = d2_e == dseg2
                 if chosen is None:
                     sel = is_min
                     chosen = is_min
                 else:
+                    # logical blend: Mosaic lacks i1 select lowering
                     sel = is_min & (~chosen)
                     chosen = chosen | is_min
                 f_e = dL_ddis2 * sel
-                t_used = jnp.where(inside, s_e, t_e)
-                ds_raw = f_e * (-2.0 * t_used * e2_e)
+                ds_raw = f_e * (-2.0 * t_e * e2_e)
                 basis_reduce(ds_raw, S_SEG + 3 * e + 0, S_SEG + 3 * e + 1,
                              S_SEG + 3 * e + 2)
-                de2 = jnp.where(inside, -s_e * s_e,
-                                t_e * t_e - 2.0 * t_e * s_e)
+                de2 = t_e * t_e - 2.0 * t_e * s_e
                 contribs.append((S_E2 + e, f_e * de2))
                 basis_reduce(f_e, S_PC + 3 * e + 0, S_PC + 3 * e + 1,
                              S_PC + 3 * e + 2)
