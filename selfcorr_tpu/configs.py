@@ -53,8 +53,12 @@ class Config:
     use_scale: bool = False
     rotation_offset: Tuple[float, ...] = (0.0,) * 6
     base_rot: Tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)
-    num_multipose_az: int = 1
-    num_multipose_el: int = 1
+    num_multipose_az: int = 1  # parsed for reference-flagfile compat only:
+    num_multipose_el: int = 1  # every reference config pins 1x1, and >1 has
+                               # no hypothesis-selection consumer there
+                               # (pose_predictor.py:48 reshapes to
+                               # bsz*n_hypo and nothing downstream folds it
+                               # back), so single-hypothesis is the spec
     surface_texture: bool = False
     n_tex_sample: int = 6
 
