@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import tempfile
 import time
 
@@ -61,6 +62,10 @@ def bench_train_step(on_cpu: bool) -> float:
     from selfcorr_tpu.train.step import init_state, make_train_step
 
     cfg = flagship_cfg(on_cpu)
+    if on_cpu:  # smoke only — flagship shapes OOM the dense backend on host
+        cfg = cfg.replace(img_size=32, corr_h=8, corr_w=8, subdivide=1,
+                          batch_size=2, repeat=2, pretrain_k=8,
+                          n_corr_feat=16, codedim=8)
     b = cfg.batch_size * cfg.repeat
     batch = synth_batch(b, cfg.img_size)
 
@@ -146,11 +151,28 @@ def bench_predict(on_cpu: bool) -> float:
     return b / ((time.time() - t0) / n_iters)
 
 
+def _backend_with_retry(attempts: int = 4, wait_s: float = 90.0) -> str:
+    """The tunneled axon backend's init transiently 500s/UNAVAILABLEs
+    (CLAUDE.md quirk); a failed init is cached by jax, so clear it and
+    retry a few times before giving up rather than losing the bench run."""
+    for i in range(attempts):
+        try:
+            return jax.default_backend()
+        except RuntimeError as e:
+            if i == attempts - 1:
+                raise
+            print(f"backend init failed ({e}); retry {i + 1}/{attempts - 1} "
+                  f"in {wait_s:.0f}s", file=sys.stderr)
+            jax.extend.backend.clear_backends()
+            time.sleep(wait_s)
+    raise AssertionError
+
+
 def main():
     from selfcorr_tpu.utils.jit_cache import enable as _enable_cache
     _enable_cache()
 
-    on_cpu = jax.default_backend() == "cpu"
+    on_cpu = _backend_with_retry() == "cpu"
     step_ips = bench_train_step(on_cpu)
     predict_fps = bench_predict(on_cpu)
     trainer_ips, trainer_ips_med = bench_trainer_loop(on_cpu)
