@@ -244,6 +244,20 @@ def bench_base():
 
     print(f"preprocess jitter+normalize (B=32): {time_chained(f_pre, img, iters=10):.1f} ms")
 
+    from selfcorr_tpu.train.step import compress_batch_host, decompress_batch
+    cbatch = {k: jnp.asarray(v) for k, v in
+              compress_batch_host(jax.tree_util.tree_map(
+                  np.asarray, bench.synth_batch(32, 256))).items()}
+
+    @jax.jit
+    def f_dec(img_u8):
+        out = decompress_batch(dict(cbatch, img=img_u8))
+        return img_u8 + (1e-30 * sum(v.mean() for v in out.values())
+                         ).astype(jnp.uint8)
+
+    print(f"in-graph u8/u16 batch decompress (B=32): "
+          f"{time_chained(f_dec, cbatch['img'], iters=10):.1f} ms")
+
 
 ALL["base"] = bench_base
 
