@@ -150,6 +150,14 @@ class Config:
     platform: str = ""                    # force a jax platform ("cpu" for
                                           # debugging; default = environment)
     num_devices: int = 1                  # data-parallel mesh size
+    # -- multi-host (pod / multi-controller) init: the counterpart of the
+    # reference's torch.distributed.init_process_group (train.py:29-38).
+    # multihost=True alone auto-detects the cluster (TPU pods); on CPU/GPU
+    # clusters also pass coordinator_address + num_processes + process_id.
+    multihost: bool = False
+    coordinator_address: str = ""
+    num_processes: int = 0
+    process_id: int = -1
     profile_steps: int = 0                # capture a jax.profiler trace for
                                           # steps [10, 10+profile_steps)
     symmetry_npts: int = 10000            # surface samples in symmetry loss

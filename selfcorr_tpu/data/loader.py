@@ -105,7 +105,8 @@ class TrainLoader:
 
     def __init__(self, dataset, cfg: Config, num_workers: int | None = None,
                  prefetch: int = 2, device_put_fn=None,
-                 use_processes: bool = False, host_transform=None):
+                 use_processes: bool = False, host_transform=None,
+                 row_range: tuple[int, int] | None = None):
         """use_processes: decode in worker PROCESSES (like the reference's
         torch DataLoader, dataloader.py:64 num_workers) so the GIL-heavy
         numpy/cv2 work cannot stall the main thread's step dispatch; falls
@@ -113,10 +114,15 @@ class TrainLoader:
         device_put_fn: optional host->device transfer applied in the producer
         thread, so the upload overlaps the device step.
         host_transform: optional batch -> batch applied in the producer
-        thread after stacking (e.g. compact-dtype packing)."""
+        thread after stacking (e.g. compact-dtype packing).
+        row_range: multi-host [start, stop) slice of the GLOBAL sample plan
+        this process decodes (parallel.process_row_range) — every process
+        generates the same deterministic plan and loads only its own rows,
+        the DistributedSampler equivalent (reference dataloader.py:57-64)."""
         self.dataset = dataset
         self.cfg = cfg
         self.host_transform = host_transform
+        self.row_range = row_range
         n_workers = num_workers or cfg.num_workers
         self._procs = False
         if use_processes and n_workers > 0:
@@ -152,17 +158,21 @@ class TrainLoader:
     def _load_fn(self):
         return _worker_load if self._procs else self.dataset.load_item
 
-    def _make_batch(self, step: int):
+    def _plan(self, step: int):
         plan = self.dataset.sample_plan(step)
+        if self.row_range is not None:
+            plan = plan[self.row_range[0]:self.row_range[1]]
+        return plan
+
+    def _make_batch(self, step: int):
         fn = self._load_fn()
         items = [f.result() for f in
-                 [self.pool.submit(fn, *vf) for vf in plan]]
+                 [self.pool.submit(fn, *vf) for vf in self._plan(step)]]
         return stack_items(items)
 
     def _submit(self, step: int):
-        plan = self.dataset.sample_plan(step)
         fn = self._load_fn()
-        return [self.pool.submit(fn, *vf) for vf in plan]
+        return [self.pool.submit(fn, *vf) for vf in self._plan(step)]
 
     def _producer(self):
         # keep the NEXT step's decode jobs in flight while the current batch

@@ -1,6 +1,9 @@
-"""Device-mesh / sharding helpers (data-parallel over ICI)."""
+"""Device-mesh / sharding helpers (data-parallel over ICI/DCN)."""
 from selfcorr_tpu.parallel.sharding import (  # noqa: F401
+    init_distributed,
+    local_value,
     make_mesh,
-    shard_batch,
+    process_row_range,
     replicate,
+    shard_batch,
 )

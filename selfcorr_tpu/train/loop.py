@@ -17,7 +17,8 @@ import numpy as np
 from selfcorr_tpu.configs import Config
 from selfcorr_tpu.data.loader import TrainLoader
 from selfcorr_tpu.models.meshnet import build_mesh_constants
-from selfcorr_tpu.parallel import make_mesh, replicate, shard_batch
+from selfcorr_tpu.parallel import (local_value, make_mesh,
+                                   process_row_range, replicate, shard_batch)
 from selfcorr_tpu.train.optim import make_optimizer
 from selfcorr_tpu.train.step import (init_state, make_sharded_train_step,
                                      make_train_step)
@@ -49,10 +50,15 @@ class Trainer:
         self.last_imgs_per_sec = None    # best steady-state loop interval
         self.median_imgs_per_sec = None  # median steady-state loop interval
         self._interval_ips = []
+        # multi-host: rank 0 owns TB/config/checkpoint writes (reference
+        # trainer.py:153-206 rank-0 gating); every process still executes
+        # the same device computations
+        self.is_main = jax.process_index() == 0
         self.run_dir = os.path.join(cfg.checkpoint_dir, cfg.name)
         os.makedirs(self.run_dir, exist_ok=True)
-        write_config_snapshot(self.run_dir, cfg)
-        self.writer = make_writer(self.run_dir)
+        if self.is_main:
+            write_config_snapshot(self.run_dir, cfg)
+        self.writer = make_writer(self.run_dir) if self.is_main else None
 
         self.constants = build_mesh_constants(cfg)
         self.n_dev = min(cfg.num_devices, len(jax.devices()))
@@ -94,11 +100,18 @@ class Trainer:
         # MAIN thread uploads batch i+1 immediately after dispatching step i
         # (double buffering), so the transfer rides the running step.
         from selfcorr_tpu.train.step import compress_batch_host
+        row_range = None
+        if jax.process_count() > 1:
+            # decode only the global-batch rows this process's devices own;
+            # the deterministic sample plan is identical on every process
+            rows = self.n_dev * cfg.batch_size * cfg.repeat
+            row_range = process_row_range(self.mesh, rows)
         loader = TrainLoader(dataset, cfg,
                              use_processes=cfg.loader_processes,
                              host_transform=(compress_batch_host
                                              if cfg.compact_transfer
-                                             else None))
+                                             else None),
+                             row_range=row_range)
         key = jax.random.PRNGKey(cfg.seed + 1)
 
         import jax.numpy as jnp
@@ -126,9 +139,10 @@ class Trainer:
             # transfer instead of per-scalar per-step fetches
             if (step_idx + 1) % cfg.batch_log_interval == 0:
                 names = sorted(metrics)
-                packed = np.asarray(jnp.stack([metrics[n] for n in names]))
+                packed = local_value(jnp.stack([metrics[n] for n in names]))
                 vals = dict(zip(names, packed))
-                log_metrics(self.writer, vals, step_idx)
+                if self.writer is not None:
+                    log_metrics(self.writer, vals, step_idx)
                 dt = (time.time() - t0) / cfg.batch_log_interval
                 # steady-state end-to-end throughput (excludes the compile
                 # interval). BEST interval: the tunneled transport has
@@ -142,10 +156,11 @@ class Trainer:
                         self.last_imgs_per_sec or 0.0, ips)
                     self.median_imgs_per_sec = float(
                         np.median(self._interval_ips))
-                print(f"iter {step_idx + 1}/{cfg.total_iters} "
-                      f"loss {vals['total_loss']:.4f} "
-                      f"{dt * 1000:.0f} ms/iter "
-                      f"({batch['img'].shape[0] / dt:.1f} imgs/s)")
+                if self.is_main:
+                    print(f"iter {step_idx + 1}/{cfg.total_iters} "
+                          f"loss {vals['total_loss']:.4f} "
+                          f"{dt * 1000:.0f} ms/iter "
+                          f"({batch['img'].shape[0] / dt:.1f} imgs/s)")
                 t0 = time.time()
 
             if cfg.profile_steps > 0 and step_idx == 10:
@@ -155,17 +170,23 @@ class Trainer:
                 jax.profiler.stop_trace()
                 print(f"profiler trace written to {self.run_dir}/trace")
 
-            if (step_idx + 1) % cfg.vis_freq == 0:
+            if (step_idx + 1) % cfg.vis_freq == 0 and self.is_main:
                 self._log_images(batch, step_idx + 1)
 
             if (step_idx + 1) % cfg.save_freq == 0:
                 self.save(step_idx + 1)
         loader.close()
-        self.save(int(np.asarray(self.state.step)))
+        self.save(int(local_value(self.state.step)))
 
     def save(self, step: int):
+        # ALL processes must call: orbax coordinates multi-host saves with
+        # internal barriers/allgathers (rank-gating deadlocks them); it
+        # writes each replicated array once. Requires a shared checkpoint
+        # dir across hosts, like the reference's rank-0 torch.save
+        # (trainer.py:200-206) requires a shared FS to reload.
         ckpt.save_state(os.path.join(self.run_dir, "ckpt"), self.state, step)
-        print(f"saved checkpoint at step {step}")
+        if self.is_main:
+            print(f"saved checkpoint at step {step}")
 
     def _log_images(self, batch, step: int):
         """TensorBoard image panels — the reference's full channel set
@@ -183,14 +204,19 @@ class Trainer:
             # video-major, frame-minor) for the pairwise panels; undo the
             # compact-transfer dtypes for the eval-mode forward
             from selfcorr_tpu.train.step import decompress_batch
+            # local_value: on multi-host, batch rows from this process's
+            # first device (frames of ITS first video — pairing contract
+            # holds per shard) and the local replica of the state; the vis
+            # forward then runs on local arrays only (no collectives), so
+            # gating to rank 0 is safe
             sub = decompress_batch(
-                {k: jnp.asarray(np.asarray(batch[k])[:2]) for k in
+                {k: jnp.asarray(local_value(batch[k])[:2]) for k in
                  ("img", "mask", "depth", "occ", "pp_crop", "foc_crop")})
-            params = jax.tree_util.tree_map(np.asarray, self.state.params)
+            params = jax.tree_util.tree_map(local_value, self.state.params)
             params = {"net": params["net"],
                       "mean_v": jnp.asarray(params["mean_v"])}
-            bs = jax.tree_util.tree_map(np.asarray, self.state.batch_stats)
-            dp = jax.tree_util.tree_map(np.asarray, self.state.dino_params)
+            bs = jax.tree_util.tree_map(local_value, self.state.batch_stats)
+            dp = jax.tree_util.tree_map(local_value, self.state.dino_params)
             v = forward_vis(params, bs, dp, sub, self.constants,
                             jax.random.PRNGKey(step), cfg,
                             use_pallas=jax.default_backend() != "cpu")

@@ -1,0 +1,124 @@
+"""Multi-host (multi-controller) data-parallel path.
+
+The reference scales with torch DDP across processes (train.py:29-38,
+dataloader.py:57-64 DistributedSampler). Our counterpart: every process
+generates the same deterministic sample plan, decodes only its own global
+-batch rows (parallel.process_row_range), and shard_batch assembles the
+global array from per-process slices (jax.make_array_from_process_local
+_data). These tests pin the utilities single-process and run REAL
+two-controller jobs over localhost (2 processes x 2 virtual CPU devices).
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_mh_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _scrubbed_env():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU registration in workers
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _run_pair(mode: str, tmpdir: str, timeout: int):
+    port = _free_port()
+    env = _scrubbed_env()
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, mode, str(r), "2", str(port), tmpdir],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for r in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{out[-4000:]}"
+    return outs
+
+
+def test_process_row_range_single_process():
+    """Single process owns the whole batch; rows stitch contiguously."""
+    from selfcorr_tpu.parallel import make_mesh, process_row_range
+
+    mesh = make_mesh()  # conftest: 8 virtual CPU devices
+    assert process_row_range(mesh, 32) == (0, 32)
+
+
+def test_loader_row_range_slices_plan():
+    """TrainLoader(row_range=...) decodes exactly the plan slice, and the
+    per-process slices partition the global plan."""
+    from selfcorr_tpu.configs import Config
+    from selfcorr_tpu.data.loader import TrainLoader
+    from selfcorr_tpu.data.synthetic import SyntheticTrain
+
+    cfg = Config(img_size=32, batch_size=2, repeat=2, total_iters=1,
+                 dataset_name="synthetic", num_workers=1, use_depth=True)
+    rows_per_proc = 4  # 8 global rows over a simulated 2-process layout
+    batches = []
+    for start in (0, rows_per_proc):
+        ds = SyntheticTrain(cfg, num_shards=2, seed=0)
+        loader = TrainLoader(ds, cfg, num_workers=1,
+                             row_range=(start, start + rows_per_proc))
+        batches.append(next(iter(loader)))
+        loader.close()
+    full_ds = SyntheticTrain(cfg, num_shards=2, seed=0)
+    plan = full_ds.sample_plan(0)
+    assert len(plan) == 2 * rows_per_proc
+    for b in batches:
+        assert b["img"].shape[0] == rows_per_proc
+    # per-row identity: the (vid, fid) metadata matches the plan slice
+    got = [(int(v), int(f)) for b in batches
+           for v, f in zip(b["idx"], b["frame_idx"])]
+    assert got == plan
+
+
+@pytest.mark.slow
+def test_two_process_collectives_and_sharding(tmp_path):
+    """REAL two-controller run: shard_batch / replicate / process_row_range /
+    local_value produce the single-host math exactly (loss + grad checked
+    against numpy inside each worker), and the two ranks' row ranges
+    partition the global batch."""
+    _run_pair("utils", str(tmp_path), timeout=600)
+    ranges = []
+    for r in range(2):
+        with open(tmp_path / f"range_{r}.txt") as f:
+            ranges.append(tuple(int(x) for x in f.read().split()))
+    assert sorted(ranges) == [(0, 4), (4, 8)]
+
+
+@pytest.mark.slow
+def test_two_process_trainer_smoke(tmp_path):
+    """End-to-end two-controller Trainer: the real sharded train step runs
+    across processes on the synthetic dataset; rank 0 (and only rank 0)
+    writes the checkpoint and logs."""
+    outs = _run_pair("trainer", str(tmp_path), timeout=600)
+    assert any("TRAINER_OK rank=0" in o for o in outs)
+    assert any("TRAINER_OK rank=1" in o for o in outs)
+    rank0 = next(o for o in outs if "TRAINER_OK rank=0" in o)
+    assert "iter 2/2" in rank0 and "nan" not in rank0.lower()
+    ckpt_dir = tmp_path / "mh_trainer" / "ckpt"
+    assert ckpt_dir.exists()

@@ -22,6 +22,14 @@ def main(argv):
     if cfg.platform:
         import jax
         jax.config.update("jax_platforms", cfg.platform)
+    if cfg.multihost or cfg.num_processes > 0:
+        # multi-controller init, before any other jax use (the reference's
+        # init_process_group, train.py:29-38). TPU pods: --multihost alone
+        # (auto-detect); explicit clusters: + coordinator/num/process flags.
+        from selfcorr_tpu.parallel import init_distributed
+        init_distributed(cfg.coordinator_address or None,
+                         cfg.num_processes or None,
+                         cfg.process_id if cfg.process_id >= 0 else None)
     from selfcorr_tpu.utils.jit_cache import enable as _enable_cache
     _enable_cache()
     np.random.seed(cfg.seed)
