@@ -180,8 +180,14 @@ def bench_transport():
 
     print(f"dino transport factored fwd+bwd (B=64): "
           f"{time_chained(f_fact, ifs[0], iters=10):.1f} ms")
-    print(f"dino transport dense    fwd+bwd (B=64): "
-          f"{time_chained(f_dense, ifs[0], iters=10):.1f} ms")
+    try:
+        print(f"dino transport dense    fwd+bwd (B=64): "
+              f"{time_chained(f_dense, ifs[0], iters=10):.1f} ms")
+    except Exception as e:  # the dense oracle's (B,P,Q) program exceeds the
+        # tunneled remote-compile upload limit (HTTP 413) at flagship shapes;
+        # it exists only as the correctness oracle (tests run it small)
+        print(f"dino transport dense: skipped ({type(e).__name__}: "
+              f"{str(e)[:80]})")
 
 
 def bench_step():
@@ -191,8 +197,59 @@ def bench_step():
     print(f"full train step: {32.0 / ips * 1000:.1f} ms ({ips:.1f} imgs/s)")
 
 
+def bench_dinoparts():
+    """Decompose the frozen DINO trunk's cost: full vs attention-ablated vs
+    MLP-ablated vs bf16-cast attention (cast q/k/v only — tensors at rest
+    stay f32, unlike the rejected whole-trunk dino_bf16 cast). Ablated arms
+    use fresh random params (timing-only; the trunk cost is shape-driven)."""
+    import selfcorr_tpu.models.vit as vit
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(32, 256, 256, 3).astype(np.float32))
+    orig_attn = jax.nn.dot_product_attention
+    orig_mlp = vit.Mlp
+
+    class ZeroMlp(vit.nn.Module):
+        hidden: int
+        out: int
+
+        @vit.nn.compact
+        def __call__(self, x):
+            return jnp.zeros_like(x)
+
+    def bf16_attn(q, k, v, **kw):
+        y = orig_attn(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                      v.astype(jnp.bfloat16), **kw)
+        return y.astype(jnp.float32)
+
+    arms = [
+        ("full trunk", orig_attn, orig_mlp),
+        ("attention -> v (qkv/proj kept)", lambda q, k, v, **kw: v, orig_mlp),
+        ("mlp -> 0", orig_attn, ZeroMlp),
+        ("attention in bf16 (cast q/k/v)", bf16_attn, orig_mlp),
+    ]
+    for name, attn, mlp in arms:
+        jax.nn.dot_product_attention = attn
+        vit.Mlp = mlp
+        try:
+            dino = vit.DinoViTS8()
+            params = dino.init(jax.random.PRNGKey(0), img[:1])["params"]
+
+            @jax.jit
+            def f(x):
+                y = dino.apply({"params": params}, x)
+                return x + 1e-30 * y.mean()
+
+            t = time_chained(f, img, iters=10)
+            print(f"dino trunk fwd (B=32) [{name}]: {t:.1f} ms")
+        finally:
+            jax.nn.dot_product_attention = orig_attn
+            vit.Mlp = orig_mlp
+
+
 ALL = dict(symmetry=bench_symmetry, dino=bench_dino, encoder=bench_encoder,
-           corr=bench_corr, transport=bench_transport, step=bench_step)
+           corr=bench_corr, transport=bench_transport, step=bench_step,
+           dinoparts=bench_dinoparts)
 
 def bench_base():
     """The non-model step residuals: optimizer update (clip + 5-group
