@@ -1,0 +1,84 @@
+"""A/B the frozen-DINO trunk: XLA materialized-softmax attention vs the
+jax.experimental.pallas TPU flash-attention kernel.
+
+Motivation (bench_components.py dinoparts, v5e): attention internals
+(scores + softmax + AV) cost ~36 ms of the 57 ms trunk forward at B=32 —
+the (32, 6, 1025, 1025) f32 score tensor is 806 MB/block, so the XLA path
+is HBM-bound on score traffic across the 9 consumed blocks. A flash kernel
+never materializes scores; the remaining trunk (qkv/proj/mlp/embed) was
+measured at 21 ms, so the headroom is ~30 ms.
+
+T=1025 is not a multiple of the kernel's 128-lane block size; q/k/v are
+padded to 1152 with segment-ids masking pad keys (pad queries attend only
+to pad keys so their rows stay finite, and are sliced off).
+
+Run solo on the TPU: python scripts/ab_flash_attention.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def time_chained(step, x0, iters=10, intervals=3):
+    x = step(x0)
+    float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+    best = float("inf")
+    for _ in range(intervals):
+        t0 = time.time()
+        for _ in range(iters):
+            x = step(x)
+        float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+        best = min(best, (time.time() - t0) / iters * 1000)
+    return best
+
+
+def main():
+    from selfcorr_tpu.utils.jit_cache import enable as _enable_cache
+    _enable_cache()
+    import selfcorr_tpu.models.vit as vit
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(32, 256, 256, 3).astype(np.float32))
+    dino = vit.DinoViTS8()
+    params = dino.init(jax.random.PRNGKey(0), img[:1])["params"]
+
+    def run(flash, attn_bf16=False):
+        model = vit.DinoViTS8(flash=flash, attn_bf16=attn_bf16)
+
+        @jax.jit
+        def f(x):
+            y = model.apply({"params": params}, x)
+            return x + 1e-30 * y.mean(), y
+
+        g = lambda x: f(x)[0]
+        t = time_chained(g, img)
+        _, y = f(img)
+        return t, np.asarray(y)
+
+    t_ref, y_ref = run(False)
+    print(f"dino trunk fwd (B=32) [xla attention]: {t_ref:.1f} ms", flush=True)
+
+    def report(tag, t, y):
+        err = float(np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9))
+        print(f"dino trunk fwd (B=32) [{tag}]: {t:.1f} ms"
+              f"   max-rel-err vs xla-f32: {err:.2e}", flush=True)
+
+    # valid flash tile sizes must divide padded T (1152): 128 / 384 / 1152.
+    # Swept earlier: (1152,384) 58.2 / (1152,1152) 51.9 / (384,384) 62.8 /
+    # (128,128 = library default) 119.0 — only the full-row tiling wins.
+    vit._FLASH_BLOCKS.update(q=1152, k=1152)
+    report("flash bq=1152 bk=1152", *run(True))
+    report("xla + attn_bf16", *run(False, attn_bf16=True))
+    report("flash + attn_bf16", *run(True, attn_bf16=True))
+
+
+if __name__ == "__main__":
+    main()

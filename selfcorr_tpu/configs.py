@@ -164,6 +164,27 @@ class Config:
     ransac_iters: int = 100
     pose_fit_max_points: int = 16384      # padded point budget for pose fit
     use_pallas: bool = True
+    dino_flash: bool = False  # pallas TPU flash attention inside the frozen
+                             # DINO trunk (models/vit.py). ISOLATED trunk
+                             # win (57.6 -> 51.9 ms at the best tile size,
+                             # B=32, v5e, scripts/ab_flash_attention.py; the
+                             # library-default 128 tiles are 2x SLOWER) that
+                             # INVERTS in the full step: 263.9 ms off vs
+                             # 270.1/273.5 ms on (back-to-back A/B) — the
+                             # pad/transpose layout boundaries around the
+                             # kernel cost more than the saved score
+                             # traffic, the same failure mode as dino_bf16.
+                             # Keep off; auto-falls back to XLA attention
+                             # off-TPU anyway (CPU tests/dryruns).
+    dino_attn_bf16: bool = False  # bf16 scores/softmax INSIDE attention
+                             # only (tensors at rest stay f32 — not the
+                             # rejected whole-trunk dino_bf16 cast). Fast:
+                             # trunk 51.9 -> 39.4 ms with dino_flash. But
+                             # LOOSE: 0.25 max-rel feature drift after 9
+                             # blocks of compounding (random-init trunk,
+                             # scripts/ab_flash_attention.py) vs the
+                             # reference's TF32 (10-bit) scores — keep off
+                             # unless validated on real DINO weights.
     dino_bf16: bool = False  # bfloat16 frozen-DINO trunk. Measured THREE
                              # times as a trap: the ISOLATED trunk forward is
                              # ~1.4x faster in bf16 (57.5 -> 40.4 ms, v5e

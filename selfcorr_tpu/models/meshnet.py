@@ -31,7 +31,7 @@ from selfcorr_tpu.models import correspondence as corr
 from selfcorr_tpu.models.heads import PosePredictor, ShapeDeformer
 from selfcorr_tpu.models.pointnet import MeshEncoder
 from selfcorr_tpu.models.resnet import ResNet18, FPNDecoder
-from selfcorr_tpu.models.vit import DinoViTS8
+from selfcorr_tpu.models.vit import DinoViTS8, flash_attention_available
 from selfcorr_tpu.ops import geometry as G
 from selfcorr_tpu.ops import mesh_ops as M
 from selfcorr_tpu.ops.image_ops import color_jitter, grid_sample
@@ -299,7 +299,8 @@ def forward_train(params, batch_stats, dino_params, batch, constants:
     rep = cfg.repeat
     bs = b // rep
     if cfg.cycle_loss_pretrain_wt != 0.0:
-        dino = DinoViTS8()
+        dino = DinoViTS8(flash=flash_attention_available(cfg.dino_flash),
+                         attn_bf16=cfg.dino_attn_bf16)
         if cfg.dino_bf16:
             dp = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16),
                                         dino_params)
@@ -418,7 +419,8 @@ def forward_vis(params, batch_stats, dino_params, batch,
     # frozen-DINO pair panel: frame 0 (src) vs frame 1 (tgt) of the first
     # video (the reference draws pair 0 of its batch pairing,
     # model.py:267-290)
-    dino = DinoViTS8()
+    dino = DinoViTS8(flash=flash_attention_available(cfg.dino_flash),
+                     attn_bf16=cfg.dino_attn_bf16)
     dino_feat = dino.apply({"params": dino_params}, img[:2])
     dino_feat = dino_feat.reshape(2, -1, dino_feat.shape[-1])
     src_f, tgt_f = dino_feat[0:1], dino_feat[1:2]

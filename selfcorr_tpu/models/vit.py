@@ -14,9 +14,59 @@ apply in stop_gradient / excludes its params from the optimizer.
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+def flash_attention_available(want: bool = True) -> bool:
+    """True when the pallas TPU flash-attention path should be used: the
+    caller wants it AND the active backend is a real TPU (the library
+    kernel has no CPU interpret path, so CPU tests/dryruns use XLA
+    attention)."""
+    return bool(want) and jax.default_backend() == "tpu"
+
+
+# flash-attention tile sizes (q rows x k cols per inner step); both must
+# divide the padded T (1152 at flagship shapes -> 128/384/1152 valid). With
+# the library default (128, 128) the grid degenerates into b*h*(T/128)^2
+# tiny programs that each re-stream K/V from HBM — measured SLOWER than
+# XLA's materialized softmax (119 vs 58 ms trunk). Large q-blocks amortize
+# the K/V streaming; swept via scripts/ab_flash_attention.py.
+_FLASH_BLOCKS = {"q": 1152, "k": 384}
+
+
+def _flash_attention(q, k, v):
+    """Pallas TPU flash attention over (b, t, h, d) tensors.
+
+    T is padded to a multiple of the kernel's 128-lane block size with
+    zero q/k/v rows; segment ids (real=0, pad=1) keep real queries from
+    attending to pad keys, and pad queries attend only to (zero) pad keys
+    so their rows stay finite. Pad rows are sliced off the output."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+    b, t, h, d = q.shape
+    t_pad = -(-t // 128) * 128
+    pad = t_pad - t
+
+    def prep(x):  # (b, t, h, d) -> (b, h, t_pad, d)
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return x.transpose(0, 2, 1, 3)
+
+    seg = jnp.pad(jnp.zeros((b, t), jnp.int32), ((0, 0), (0, pad)),
+                  constant_values=1)
+    bq = min(_FLASH_BLOCKS["q"], t_pad)
+    bk = min(_FLASH_BLOCKS["k"], t_pad)
+    blocks = _fa.BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
+    out = _fa.flash_attention(
+        prep(q), prep(k), prep(v),
+        segment_ids=_fa.SegmentIds(q=seg, kv=seg),
+        sm_scale=1.0 / math.sqrt(d), block_sizes=blocks)
+    return out.transpose(0, 2, 1, 3)[:, :t]
 
 
 class Mlp(nn.Module):
@@ -33,6 +83,8 @@ class Mlp(nn.Module):
 class Attention(nn.Module):
     dim: int = 384
     num_heads: int = 6
+    flash: bool = False
+    attn_bf16: bool = False
 
     @nn.compact
     def __call__(self, x, return_kqv: bool = False):
@@ -41,17 +93,27 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, name="qkv")(x)
         qkv = qkv.reshape(b, t, 3, self.num_heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b,t,h,d)
-        # XLA attention. A hand-written flash-attention Pallas kernel was
-        # built and measured in round 3: at these shapes (T=1025, D=64, f32)
-        # it only ties XLA's materialized-softmax path on v5e (4.7 vs 5.6 ms
-        # isolated; NEUTRAL in the full trunk) because the matmuls, not the
-        # (b,h,t,t) HBM traffic, dominate — so the kernel was dropped. The
-        # real lever is cfg.dino_bf16 (57.5 -> 40.4 ms full trunk).
-        y = jax.nn.dot_product_attention(q, k, v)
+        # Default: XLA materialized-softmax attention. The (B,H,T,T) score
+        # tensor (806 MB/block f32 at flagship shapes) makes it HBM-bound
+        # (36 of the 57 ms trunk, dinoparts probe), but every measured
+        # alternative loses end-to-end (scripts/ab_flash_attention.py,
+        # v5e): the pallas flash kernel wins isolated (-5.7 ms trunk at
+        # bq=bk=1152; the library-default 128 tiles are 2x slower) yet the
+        # FULL STEP is ~7 ms slower with it — pad/transpose boundaries
+        # around the kernel outweigh the saved traffic; attn_bf16 (bf16
+        # q/k/v + scores, -18 ms trunk with flash) drifts 0.25 max-rel
+        # after 9 blocks of compounding. Both stay available behind flags.
+        if self.attn_bf16:
+            q, k, v = (z.astype(jnp.bfloat16) for z in (q, k, v))
+        if self.flash:
+            y = _flash_attention(q, k, v)
+        else:
+            y = jax.nn.dot_product_attention(q, k, v)
+        y = y.astype(x.dtype)  # attn_bf16 affects scores only, not the trunk
         y = y.reshape(b, t, c)
         y = nn.Dense(self.dim, name="proj")(y)
         if return_kqv:
-            return y, k.transpose(0, 2, 1, 3)  # k: (b, h, t, d)
+            return y, k.transpose(0, 2, 1, 3).astype(x.dtype)  # (b, h, t, d)
         return y
 
 
@@ -59,15 +121,18 @@ class Block(nn.Module):
     dim: int = 384
     num_heads: int = 6
     mlp_ratio: int = 4
+    flash: bool = False
+    attn_bf16: bool = False
 
     @nn.compact
     def __call__(self, x, return_k: bool = False):
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        attn = Attention(self.dim, self.num_heads, self.flash,
+                         self.attn_bf16, name="attn")
         if return_k:
-            a, k = Attention(self.dim, self.num_heads, name="attn")(
-                h, return_kqv=True)
+            a, k = attn(h, return_kqv=True)
         else:
-            a = Attention(self.dim, self.num_heads, name="attn")(h)
+            a = attn(h)
             k = None
         x = x + a
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
@@ -83,6 +148,8 @@ class DinoViTS8(nn.Module):
     num_heads: int = 6
     patch_size: int = 8
     feature_layer: int = 9
+    flash: bool = False      # pallas TPU flash attention (see Attention)
+    attn_bf16: bool = False  # bf16 scores/softmax inside attention only
 
     @nn.compact
     def __call__(self, img):  # img: (B, H, W, 3) normalized
@@ -103,11 +170,12 @@ class DinoViTS8(nn.Module):
         # the trunk is output-identical and 25% cheaper.
         feat_k = None
         for i in range(self.feature_layer + 1):
+            blk = Block(self.dim, self.num_heads, flash=self.flash,
+                        attn_bf16=self.attn_bf16, name=f"block{i}")
             if i == self.feature_layer:
-                _, feat_k = Block(self.dim, self.num_heads,
-                                  name=f"block{i}")(x, return_k=True)
+                _, feat_k = blk(x, return_k=True)
             else:
-                x = Block(self.dim, self.num_heads, name=f"block{i}")(x)
+                x = blk(x)
         # keys: (b, heads, t, d) -> drop CLS -> dense (b, gh, gw, heads*d)
         k = feat_k[:, :, 1:, :]                      # (b, h, hw, d)
         k = k.transpose(0, 2, 1, 3).reshape(b, gh, gw, self.dim)

@@ -95,3 +95,37 @@ def test_factored_matches_dense_grads():
         assert np.asarray(jnp.abs(d)).max() > 0  # non-degenerate check
         np.testing.assert_allclose(np.asarray(d), np.asarray(f),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_attention_impl_flags():
+    """Pin the DINO attention variants (models/vit.py):
+
+    * flash_attention_available auto-falls back off-TPU, so CPU tests /
+      dryruns can never reach the TPU-only pallas kernel;
+    * attn_bf16 (bf16 scores/softmax INSIDE attention only) keeps the
+      param tree, output shape and f32 dtype identical, and stays within a
+      loose tolerance of the f32 path on a short random-init trunk (the
+      flagship 9-block drift is measured on TPU by
+      scripts/ab_flash_attention.py and documented in configs.py).
+    """
+    from selfcorr_tpu.models.vit import DinoViTS8, flash_attention_available
+
+    assert jax.default_backend() == "cpu"  # tests/conftest.py forces CPU
+    assert flash_attention_available(True) is False
+    assert flash_attention_available(False) is False
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    m32 = DinoViTS8(feature_layer=2)
+    mbf = DinoViTS8(feature_layer=2, attn_bf16=True)
+    params = m32.init(jax.random.PRNGKey(0), img)["params"]
+    # identical param trees: attn_bf16 adds no parameters
+    pbf = mbf.init(jax.random.PRNGKey(0), img)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(pbf))
+
+    y32 = m32.apply({"params": params}, img)
+    ybf = mbf.apply({"params": params}, img)
+    assert ybf.shape == y32.shape and ybf.dtype == jnp.float32
+    rel = float(jnp.abs(ybf - y32).max() / (jnp.abs(y32).max() + 1e-9))
+    assert rel < 0.05, rel
