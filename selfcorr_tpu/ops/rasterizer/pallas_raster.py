@@ -241,13 +241,31 @@ def _cols(cv, j, n=1):
     return [cv[:, j + i:j + i + 1][:, :, None] for i in range(n)]
 
 
-def _affine(cv, j, xs, ys):
+def _affine(cv, j, xs, ys, lane_extra=None, sub_extra=None):
+    """a*xs + b*ys + c evaluated as (lane part) + (sublane part).
+
+    xs varies only along lanes ((1,1,TC)) and ys only along sublanes
+    ((1,TR,1)), so grouping the terms as (a*xs + c [+ lane_extra]) +
+    (b*ys [+ sub_extra]) costs ONE full-rank (FF,TR,TC) add — the naive
+    left-to-right association pays two (three with a full-rank extra like
+    p2). The affines are ~17 ms of the 45 ms forward (PERF.md), so the
+    association matters; results differ only in the last ulp."""
     a, b, c = _cols(cv, j, 3)
-    return a * xs + b * ys + c
+    lane = a * xs + c                       # (FF, 1, TC)
+    if lane_extra is not None:
+        lane = lane + lane_extra
+    sub = b * ys                            # (FF, TR, 1)
+    if sub_extra is not None:
+        sub = sub + sub_extra
+    return lane + sub
 
 
-def _chunk_geometry(cv, xs, ys, p2, sigma1, sigma2, near, far):
-    """All per-(face-in-chunk, pixel) quantities. Shapes (FF, TR, TC)."""
+def _chunk_geometry(cv, xs, ys, x2, y2, sigma1, sigma2, near, far):
+    """All per-(face-in-chunk, pixel) quantities. Shapes (FF, TR, TC).
+
+    x2 = xs*xs and y2 = ys*ys are passed separately (not as the full-rank
+    sum p2) so the |p-v0|^2 affines can fold them into their lane/sublane
+    parts — see _affine."""
     w0 = _affine(cv, S_WA + 0, xs, ys)
     w1 = _affine(cv, S_WA + 3, xs, ys)
     w2 = _affine(cv, S_WA + 6, xs, ys)
@@ -269,7 +287,7 @@ def _chunk_geometry(cv, xs, ys, p2, sigma1, sigma2, near, far):
     for e in range(3):
         s = _affine(cv, S_SEG + 3 * e, xs, ys)
         t = jnp.clip(s, 0.0, 1.0)
-        pv0 = p2 + _affine(cv, S_PC + 3 * e, xs, ys)
+        pv0 = _affine(cv, S_PC + 3 * e, xs, ys, lane_extra=x2, sub_extra=y2)
         e2 = _cols(cv, S_E2 + e)
         d2 = jnp.maximum(pv0 - t * (2.0 * s - t) * e2, 0.0)  # segment dist^2
         seg_cache.append((s, t, e2, d2))
@@ -399,7 +417,7 @@ def _fwd_kernel(spans_ref, masks_ref, consts_ref, *out_refs, image_size,
     s_img = image_size
     tc = min(TC, s_img)
     xs, ys = _tile_pixel_coords(s_img)
-    p2 = xs * xs + ys * ys
+    x2, y2 = xs * xs, ys * ys
 
     shp = (1, TR, tc)
     zeros = jnp.zeros(shp, jnp.float32)
@@ -420,7 +438,7 @@ def _fwd_kernel(spans_ref, masks_ref, consts_ref, *out_refs, image_size,
 
         def compute(carry):
             cv = consts_ref[0, pl.ds(ci * FF, FF), :]  # (FF, K)
-            g = _chunk_geometry(cv, xs, ys, p2, sigma1, sigma2, near, far)
+            g = _chunk_geometry(cv, xs, ys, x2, y2, sigma1, sigma2, near, far)
             # second-level cull: the bbox test is conservative (the tile is
             # 128 px wide); skip aggregation when no face actually reaches
             # its coverage support in this tile
@@ -548,7 +566,7 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
     s_img = image_size
     tc = min(TC, s_img)
     xs, ys = _tile_pixel_coords(s_img)
-    p2 = xs * xs + ys * ys
+    x2, y2 = xs * xs, ys * ys
 
     first_tile = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
 
@@ -585,7 +603,7 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
 
         def compute(_):
             cv = consts_ref[0, pl.ds(ci * FF, FF), :]
-            g = _chunk_geometry(cv, xs, ys, p2, sigma1, sigma2, near, far)
+            g = _chunk_geometry(cv, xs, ys, x2, y2, sigma1, sigma2, near, far)
             return jax.lax.cond(jnp.any(g["contrib2"]),
                                 lambda _: backprop(g, cv), lambda _: 0, 0)
 
