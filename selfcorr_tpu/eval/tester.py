@@ -4,6 +4,13 @@ Counterpart of the reference Tester (model/tester.py:126-321): per batch the
 model forward and the whole-batch RANSAC pose fit run on device; the exact 3D
 IoU / deg-cm metrics run on the host. Prints the same summary channels
 (iou@25/50, {5,10}deg x {2,5}cm for NOCS-style eval; mIoU + PCK for CUB).
+
+Multi-chip: with --num_devices N > 1 the eval batch is sharded over the same
+1-D `data` mesh training uses (params replicated, batch rows split) and XLA's
+GSPMD partitions the forward + the whole-batch RANSAC fit across chips — an
+upgrade over the reference Tester, which is single-GPU (tester.py:325 pins
+`cuda:0`). Every op in forward_test / fit_poses is batched, so no shard_map
+is needed; outputs are fetched to host for the (cheap) metric accumulation.
 """
 from __future__ import annotations
 
@@ -57,6 +64,19 @@ class Tester:
             else:
                 self.state = ckpt.restore_state(cfg.model_path, self.state)
 
+        self.mesh = None
+        if cfg.num_devices > 1:
+            from selfcorr_tpu.parallel import make_mesh, replicate
+            if cfg.batch_size % cfg.num_devices:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} not divisible by "
+                    f"num_devices {cfg.num_devices}")
+            self.mesh = make_mesh(cfg.num_devices)
+            # params/BN stats replicated once; batches are sharded per call
+            self.state = self.state._replace(
+                params=replicate(self.mesh, self.state.params),
+                batch_stats=replicate(self.mesh, self.state.batch_stats))
+
         constants = self.constants
 
         @jax.jit
@@ -71,6 +91,9 @@ class Tester:
     def predict_batch(self, batch, rng):
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if k in ("img", "mask", "depth", "occ", "pp_crop", "foc_crop")}
+        if self.mesh is not None:
+            from selfcorr_tpu.parallel import shard_batch
+            jb = shard_batch(self.mesh, jb)
         pred = self._forward(self.state.params, self.state.batch_stats, jb, rng)
         fit = self._fit(rng, pred["match"], pred["match_conf"], jb["depth"],
                         jb["mask"], jb["pp_crop"], jb["foc_crop"],
