@@ -248,8 +248,10 @@ def _affine(cv, j, xs, ys, lane_extra=None, sub_extra=None):
     ((1,TR,1)), so grouping the terms as (a*xs + c [+ lane_extra]) +
     (b*ys [+ sub_extra]) costs ONE full-rank (FF,TR,TC) add — the naive
     left-to-right association pays two (three with a full-rank extra like
-    p2). The affines are ~17 ms of the 45 ms forward (PERF.md), so the
-    association matters; results differ only in the last ulp."""
+    p2). Measured effect is modest (~2 ms of the 125 ms ico fwd+bwd,
+    PERF.md round 3 — Mosaic evidently already folds most of the naive
+    form); kept because it is strictly fewer full-rank ops and exact up
+    to the last ulp."""
     a, b, c = _cols(cv, j, 3)
     lane = a * xs + c                       # (FF, 1, TC)
     if lane_extra is not None:
