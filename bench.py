@@ -167,6 +167,131 @@ def bench_predict(on_cpu: bool) -> float:
     return best
 
 
+# v5e per-chip peaks (public spec): 197 TFLOP/s bf16 MXU, 819 GB/s HBM.
+# The VPU peak is NOT published; 8x128 lanes x 4 ALUs x 2 (fma) at the
+# ~1.5 GHz implied by the MXU spec gives ~12.3 TFLOP/s f32 — flagged
+# estimated wherever used.
+MXU_PEAK_BF16 = 197e12
+HBM_PEAK = 819e9
+VPU_PEAK_EST = 12.3e12
+
+
+def _time_chained_ms(step, x0, iters=10, intervals=3):
+    """Best per-iter ms; chained through the previous output and closed by
+    a scalar fetch (block_until_ready does not sync on the axon tunnel)."""
+    x = step(x0)
+    float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+    best = float("inf")
+    for _ in range(intervals):
+        t0 = time.time()
+        for _ in range(iters):
+            x = step(x)
+        float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+        best = min(best, (time.time() - t0) / iters * 1000)
+    return best
+
+
+def bench_roofline():
+    """Per-component achieved FLOP/s and GB/s vs v5e peaks (VERDICT r3
+    item 6): converts relative speedups into falsifiable absolute hardware
+    efficiency. FLOP/byte counts come from XLA's own cost model
+    (compiled.cost_analysis()) for pure-XLA components; the Pallas
+    rasterizer is a custom call XLA cannot cost, so it gets the analytic
+    face-pixel pair rate plus a documented ~180 f32-flops/pair estimate
+    (the dense per-pair geometry+aggregation op count of
+    ops/rasterizer/pallas_raster._chunk_geometry et al.)."""
+    from selfcorr_tpu.models.vit import DinoViTS8
+    from selfcorr_tpu.models.meshnet import Networks
+
+    out = {"peaks": {"mxu_bf16_flops_per_s": MXU_PEAK_BF16,
+                     "hbm_bytes_per_s": HBM_PEAK,
+                     "vpu_f32_flops_per_s_est": VPU_PEAK_EST}}
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(32, 256, 256, 3).astype(np.float32))
+
+    def costed(fn, x):
+        comp = jax.jit(fn).lower(x).compile()
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        byt = float(ca.get("bytes accessed", 0.0))
+        ms = _time_chained_ms(jax.jit(fn), x)
+        return {"ms": round(ms, 2), "flops": flops, "bytes": byt,
+                "achieved_tflops_s": round(flops / ms / 1e9, 1),
+                "achieved_gb_s": round(byt / ms / 1e6, 1),
+                "pct_mxu_peak": round(100 * flops / ms * 1e3
+                                      / MXU_PEAK_BF16, 1),
+                "pct_hbm_peak": round(100 * byt / ms * 1e3 / HBM_PEAK, 1)}
+
+    # frozen DINO trunk fwd (matmul-heavy; HBM-bound on f32 score traffic)
+    dino = DinoViTS8()
+    dparams = dino.init(jax.random.PRNGKey(0), img[:1])["params"]
+
+    def dino_fn(x):
+        y = dino.apply({"params": dparams}, x)
+        return x + 1e-30 * y.mean()
+
+    out["dino_trunk_fwd"] = costed(dino_fn, img)
+
+    # ResNet18+FPN encoder fwd+bwd (MXU conv-heavy)
+    cfg = flagship_cfg(on_cpu=False)
+    net = Networks(cfg)
+    vs = net.init(jax.random.PRNGKey(0), img[:1], method="encode_img")
+
+    def enc_fn(x):
+        def loss(p):
+            (code, feat), _ = net.apply(
+                {"params": p, "batch_stats": vs["batch_stats"]}, x, True,
+                method="encode_img", mutable=["batch_stats"])
+            return code.mean() + feat.mean()
+        l, g = jax.value_and_grad(loss)(vs["params"])
+        gsum = sum(jnp.sum(t) for t in jax.tree_util.tree_leaves(g))
+        return x + 1e-30 * (l + gsum)
+
+    out["encoder_fwdbwd"] = costed(enc_fn, img)
+
+    # Pallas fused rasterizer fwd+bwd at the flagship ico scene (VPU-bound;
+    # XLA cannot cost the custom call -> analytic pair rate)
+    from selfcorr_tpu.ops.rasterizer import render_fused
+    from selfcorr_tpu.ops.mesh_ops import icosphere
+    verts, faces = icosphere(3)
+    scenes = []
+    for i in range(32):
+        s = rng.uniform(0.3, 0.6)
+        off = rng.uniform(-0.4, 0.4, (1, 2))
+        v2 = verts[:, :2] * s + off
+        z = verts[:, 2:] * s + 5.0
+        scenes.append(np.concatenate([v2, z], -1))
+    fv = jnp.asarray(np.stack(scenes)[:, faces].astype(np.float32))
+    tex = jnp.asarray(rng.rand(32, faces.shape[0], 3, 3).astype(np.float32))
+
+    def rast_fn(fv_):
+        def loss(fv_, tex_):
+            o = render_fused(fv_, tex_, tex_, 256, backend="pallas",
+                             interpret=False)
+            return (o["alpha1"].sum() + o["alpha2"].sum() + o["depth"].sum()
+                    + o["tex"].sum())
+        g = jax.grad(loss, argnums=(0, 1))(fv_, tex)
+        return fv_ + 1e-30 * (g[0].sum() + g[1].sum())
+
+    ms = _time_chained_ms(jax.jit(rast_fn), fv)
+    pairs = 32 * 256 * 256 * faces.shape[0]
+    flops_per_pair_est = 180.0  # fwd geometry+aggregation; bwd ~= 1.6x fwd
+    pass_equiv = 2.6  # fwd + recompute-bwd
+    out["raster_fwdbwd"] = {
+        "ms": round(ms, 2),
+        "face_pixel_pairs_per_pass": pairs,
+        "pairs_per_s_fwd_plus_bwd": round(pairs * pass_equiv / ms * 1e3, 0),
+        "flops_est": pairs * flops_per_pair_est * pass_equiv,
+        "achieved_tflops_s_est": round(
+            pairs * flops_per_pair_est * pass_equiv / ms / 1e9, 1),
+        "pct_vpu_peak_est": round(100 * pairs * flops_per_pair_est
+                                  * pass_equiv / ms * 1e3 / VPU_PEAK_EST, 1),
+        "note": ("pallas custom call: flops are the analytic ~180/pair "
+                 "estimate x2.6 pass-equivalents; pairs/s is exact")}
+    return out
+
+
 def _backend_with_retry(attempts: int = 4, wait_s: float = 90.0) -> str:
     """The tunneled axon backend's init transiently 500s/UNAVAILABLEs
     (CLAUDE.md quirk); a failed init is cached by jax, so clear it and
@@ -191,6 +316,12 @@ def main():
     on_cpu = _backend_with_retry() == "cpu"
     step_ips = bench_train_step(on_cpu)
     predict_fps = bench_predict(on_cpu)
+    roofline = None
+    if not on_cpu:
+        try:
+            roofline = bench_roofline()
+        except Exception as e:  # never lose the headline number to this
+            roofline = {"error": str(e)[:200]}
     # The loop runs strictly more work than the raw step, so best-interval
     # loop throughput far below the step means the tunnel was in its
     # sustained-slow transport mode (CLAUDE.md; identical code has measured
@@ -220,6 +351,7 @@ def main():
             "predict_fps_batch16": round(predict_fps, 2),
             "baseline_imgs_per_sec_estimated": BASELINE_IMGS_PER_SEC,
             "baseline_estimated": True,
+            "roofline": roofline,
         },
     }))
 

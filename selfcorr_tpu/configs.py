@@ -176,6 +176,14 @@ class Config:
                              # traffic, the same failure mode as dino_bf16.
                              # Keep off; auto-falls back to XLA attention
                              # off-TPU anyway (CPU tests/dryruns).
+    dino_pad_once: bool = False  # with dino_flash: pad tokens 1025 -> 1152
+                             # ONCE at trunk entry (segment ids mask the pad
+                             # keys) instead of pad/slice around every flash
+                             # call — moves the layout boundary the round-3
+                             # A/B blamed for the flash kernel's end-to-end
+                             # loss (VERDICT r3 item 4). Measured round 4 on
+                             # v5e (scripts/ab_flash_attention.py --padonce):
+                             # see PERF.md round-4 DINO section.
     dino_attn_bf16: bool = False  # bf16 scores/softmax INSIDE attention
                              # only (tensors at rest stay f32 — not the
                              # rejected whole-trunk dino_bf16 cast). Fast:

@@ -205,13 +205,20 @@ class TrainLoader:
 
 class TestLoader:
     """Sequential fixed-size batches; the tail batch is padded by repeating
-    the last sample (static shapes for jit) with a validity mask."""
+    the last sample (static shapes for jit) with a validity mask.
+
+    row_range (multi-host): [lo, hi) global-batch rows THIS process decodes
+    (see parallel.process_row_range) — every process iterates the same
+    global batch schedule but loads/yields only its own rows; shard_batch
+    assembles the global device batch from the per-process slices."""
 
     def __init__(self, dataset, cfg: Config, batch_size: int | None = None,
-                 num_workers: int | None = None):
+                 num_workers: int | None = None,
+                 row_range: tuple[int, int] | None = None):
         self.dataset = dataset
         self.cfg = cfg
         self.bsz = batch_size or cfg.batch_size
+        self.row_range = row_range
         self.pool = ThreadPoolExecutor(num_workers or cfg.num_workers)
         order = np.arange(len(dataset))
         if cfg.shuffle_test:
@@ -230,6 +237,10 @@ class TestLoader:
                 valid[len(idx):] = False
                 idx = np.concatenate(
                     [idx, np.full(self.bsz - len(idx), idx[-1])])
+            if self.row_range is not None:
+                lo, hi = self.row_range
+                idx = idx[lo:hi]
+                valid = valid[lo:hi]
             items = list(self.pool.map(self.dataset.load_item, idx))
             batch = stack_items(items)
             batch["valid"] = valid

@@ -65,8 +65,10 @@ class Tester:
                 self.state = ckpt.restore_state(cfg.model_path, self.state)
 
         self.mesh = None
-        if cfg.num_devices > 1:
-            from selfcorr_tpu.parallel import make_mesh, replicate
+        self.row_range = None  # multi-host: this process's global-batch rows
+        if cfg.num_devices > 1 or jax.process_count() > 1:
+            from selfcorr_tpu.parallel import (make_mesh, process_row_range,
+                                               replicate)
             if cfg.batch_size % cfg.num_devices:
                 raise ValueError(
                     f"batch_size {cfg.batch_size} not divisible by "
@@ -76,6 +78,18 @@ class Tester:
             self.state = self.state._replace(
                 params=replicate(self.mesh, self.state.params),
                 batch_stats=replicate(self.mesh, self.state.batch_stats))
+            if jax.process_count() > 1:
+                # each controller decodes + scores only its own rows of the
+                # global eval batch (DistributedSampler equivalent for eval;
+                # the reference Tester is single-GPU, tester.py:325);
+                # metrics are merged across processes at summary time
+                if cfg.eval_cub:
+                    raise NotImplementedError(
+                        "eval_cub pairs the FIRST and SECOND half of the "
+                        "global batch (tester.py:252-258) — per-process row "
+                        "slices would pair differently; run CUB eval on a "
+                        "single controller")
+                self.row_range = process_row_range(self.mesh, cfg.batch_size)
 
         constants = self.constants
 
@@ -102,8 +116,9 @@ class Tester:
 
     def test(self):
         cfg = self.cfg
+        from selfcorr_tpu.parallel import local_rows
         dataset = make_test_dataset(cfg)
-        loader = TestLoader(dataset, cfg)
+        loader = TestLoader(dataset, cfg, row_range=self.row_range)
         rng = jax.random.PRNGKey(cfg.seed + 123)
 
         acc = NocsAccumulator(cfg.symmetry_idx) if cfg.eval_nocs else None
@@ -115,7 +130,7 @@ class Tester:
             valid = batch["valid"]
 
             if cfg.eval_nocs and "rot_gt" in batch:
-                bbox9 = np.asarray(fit["bbox9"])
+                bbox9 = local_rows(fit["bbox9"])
                 for i in range(len(valid)):
                     if not valid[i]:
                         continue
@@ -126,9 +141,9 @@ class Tester:
             if cfg.vis_pred:
                 from selfcorr_tpu.utils.vis import save_visualizations
                 out_dir = cfg.vis_path or os.path.join(self.run_dir, "vis")
-                pred_np = {k: np.asarray(v) if v is not None else None
+                pred_np = {k: local_rows(v) if v is not None else None
                            for k, v in pred.items()}
-                fit_np = {k: np.asarray(v) for k, v in fit.items()}
+                fit_np = {k: local_rows(v) for k, v in fit.items()}
                 read_orig = (None if cfg.eval_cub  # ref skips vis for CUB
                              else getattr(dataset, "read_original", None))
                 for i in range(len(valid)):
@@ -153,6 +168,9 @@ class Tester:
             if (bi + 1) % 10 == 0:
                 print(f"tested batch {bi + 1}/{len(loader)}")
 
+        if acc is not None and jax.process_count() > 1:
+            self._merge_across_processes(acc)
+
         results = {}
         if acc is not None:
             results = acc.summary()
@@ -171,6 +189,32 @@ class Tester:
             print("kp@0.1:", results["kp@0.1"])
             print("kp@0.2:", results["kp@0.2"])
         return results
+
+    @staticmethod
+    def _merge_across_processes(acc):
+        """Replace the per-process NOCS accumulator contents with the union
+        across all controllers (counts differ per process only on the padded
+        tail batch, so rows are NaN-padded to the max before the allgather;
+        every process ends with the identical global summary)."""
+        from jax.experimental import multihost_utils as mh
+        import jax.numpy as jnp
+
+        def gather(rows, width):
+            a = np.asarray(rows, np.float64).reshape(-1, width)
+            counts = np.asarray(mh.process_allgather(
+                jnp.asarray([len(a)], jnp.int32))).reshape(-1)
+            m = int(counts.max())
+            padded = np.full((m, width), np.nan)
+            padded[:len(a)] = a
+            g = np.asarray(mh.process_allgather(
+                jnp.asarray(padded, jnp.float32)))  # (P, m, width)
+            return [g[p, i].tolist() for p in range(g.shape[0])
+                    for i in range(counts[p])]
+
+        acc.iou_hits = [[v > 0.5 for v in r] for r in gather(acc.iou_hits, 2)]
+        acc.degcm_hits = [[v > 0.5 for v in r]
+                          for r in gather(acc.degcm_hits, 4)]
+        acc.raw = gather(acc.raw, 3)
 
     def _debug_panels(self, batch, pred, fit, i, orig):
         """Full-frame depth / hard-texture / mask render panels
@@ -290,6 +334,27 @@ class Tester:
                 vis[:half], vis[half: 2 * half], kps[:half],
                 kps[half: 2 * half], match[:half], match[half: 2 * half],
                 mask[:half], mask[half: 2 * half])
+            if cfg.vis_pred:
+                # keypoint-transfer panels (reference tester.py:270-279):
+                # source kps on src image, transferred kps on tgt image,
+                # GT kps on tgt image -> {tag}_1 / _2 / _2_gt .png
+                from selfcorr_tpu.utils.vis import draw_kp
+                import cv2
+                out_dir = cfg.vis_path or os.path.join(self.run_dir, "vis")
+                os.makedirs(out_dir, exist_ok=True)
+                img = np.asarray(batch["img"], np.float32)
+                for i in range(half):
+                    if not (valid[i] and valid[i + half]):
+                        continue
+                    p1, pt, p2 = draw_kp(img[i], img[i + half], kps[i],
+                                         kps[i + half], transfer[i],
+                                         kp_mask[i])
+                    tag = (f"{int(batch['idx'][i]):03d}_"
+                           f"{int(batch['frame_idx'][i]):03d}")
+                    cv2.imwrite(os.path.join(out_dir, f"{tag}_1.png"), p1)
+                    cv2.imwrite(os.path.join(out_dir, f"{tag}_2.png"), pt)
+                    cv2.imwrite(os.path.join(out_dir, f"{tag}_2_gt.png"), p2)
+
             padding, base_padding = 0.2, 0.0
             kp_scale = (1 + 2 * padding) / (1 + 2 * base_padding) / 2
             sel = err[kp_mask > 0]

@@ -300,7 +300,9 @@ def forward_train(params, batch_stats, dino_params, batch, constants:
     bs = b // rep
     if cfg.cycle_loss_pretrain_wt != 0.0:
         dino = DinoViTS8(flash=flash_attention_available(cfg.dino_flash),
-                         attn_bf16=cfg.dino_attn_bf16)
+                         attn_bf16=cfg.dino_attn_bf16,
+                         pad_once=(cfg.dino_pad_once and
+                                   flash_attention_available(cfg.dino_flash)))
         if cfg.dino_bf16:
             dp = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16),
                                         dino_params)
@@ -420,7 +422,9 @@ def forward_vis(params, batch_stats, dino_params, batch,
     # video (the reference draws pair 0 of its batch pairing,
     # model.py:267-290)
     dino = DinoViTS8(flash=flash_attention_available(cfg.dino_flash),
-                     attn_bf16=cfg.dino_attn_bf16)
+                     attn_bf16=cfg.dino_attn_bf16,
+                     pad_once=(cfg.dino_pad_once and
+                               flash_attention_available(cfg.dino_flash)))
     dino_feat = dino.apply({"params": dino_params}, img[:2])
     dino_feat = dino_feat.reshape(2, -1, dino_feat.shape[-1])
     src_f, tgt_f = dino_feat[0:1], dino_feat[1:2]

@@ -37,25 +37,32 @@ def flash_attention_available(want: bool = True) -> bool:
 _FLASH_BLOCKS = {"q": 1152, "k": 384}
 
 
-def _flash_attention(q, k, v):
+def _flash_attention(q, k, v, n_real: int | None = None):
     """Pallas TPU flash attention over (b, t, h, d) tensors.
 
     T is padded to a multiple of the kernel's 128-lane block size with
     zero q/k/v rows; segment ids (real=0, pad=1) keep real queries from
     attending to pad keys, and pad queries attend only to (zero) pad keys
-    so their rows stay finite. Pad rows are sliced off the output."""
+    so their rows stay finite. Pad rows are sliced off the output.
+
+    n_real: when the TRUNK is already padded (pad_once mode — t is a
+    128-multiple but only the first n_real tokens are real), segment ids
+    must still separate the trailing pad rows."""
     from jax.experimental.pallas.ops.tpu import flash_attention as _fa
 
     b, t, h, d = q.shape
     t_pad = -(-t // 128) * 128
     pad = t_pad - t
+    if n_real is None:
+        n_real = t
 
     def prep(x):  # (b, t, h, d) -> (b, h, t_pad, d)
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
         return x.transpose(0, 2, 1, 3)
 
-    seg = jnp.pad(jnp.zeros((b, t), jnp.int32), ((0, 0), (0, pad)),
-                  constant_values=1)
+    seg = jnp.broadcast_to(
+        (jnp.arange(t_pad, dtype=jnp.int32) >= n_real).astype(jnp.int32),
+        (b, t_pad))
     bq = min(_FLASH_BLOCKS["q"], t_pad)
     bk = min(_FLASH_BLOCKS["k"], t_pad)
     blocks = _fa.BlockSizes(
@@ -85,6 +92,7 @@ class Attention(nn.Module):
     num_heads: int = 6
     flash: bool = False
     attn_bf16: bool = False
+    n_real: int | None = None  # pad_once mode: real tokens of the padded t
 
     @nn.compact
     def __call__(self, x, return_kqv: bool = False):
@@ -106,7 +114,7 @@ class Attention(nn.Module):
         if self.attn_bf16:
             q, k, v = (z.astype(jnp.bfloat16) for z in (q, k, v))
         if self.flash:
-            y = _flash_attention(q, k, v)
+            y = _flash_attention(q, k, v, n_real=self.n_real)
         else:
             y = jax.nn.dot_product_attention(q, k, v)
         y = y.astype(x.dtype)  # attn_bf16 affects scores only, not the trunk
@@ -123,12 +131,13 @@ class Block(nn.Module):
     mlp_ratio: int = 4
     flash: bool = False
     attn_bf16: bool = False
+    n_real: int | None = None
 
     @nn.compact
     def __call__(self, x, return_k: bool = False):
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         attn = Attention(self.dim, self.num_heads, self.flash,
-                         self.attn_bf16, name="attn")
+                         self.attn_bf16, self.n_real, name="attn")
         if return_k:
             a, k = attn(h, return_kqv=True)
         else:
@@ -150,6 +159,14 @@ class DinoViTS8(nn.Module):
     feature_layer: int = 9
     flash: bool = False      # pallas TPU flash attention (see Attention)
     attn_bf16: bool = False  # bf16 scores/softmax inside attention only
+    pad_once: bool = False   # pad tokens to a 128-multiple ONCE at trunk
+    # entry instead of per flash call. Requires flash=True (the XLA path
+    # has no pad-key masking). Pad rows are zero at entry; each block's
+    # LayerNorm maps them to its bias vector, but they can never leak into
+    # real tokens: attention excludes pad keys via segment ids and every
+    # other op is per-token. Output-identical to per-call padding; saves
+    # 9x2 pad/slice relayouts and runs every matmul at t=1152 (a lane
+    # multiple) instead of 1025.
 
     @nn.compact
     def __call__(self, img):  # img: (B, H, W, 3) normalized
@@ -165,19 +182,28 @@ class DinoViTS8(nn.Module):
                          (1, gh * gw + 1, self.dim))
         x = x + pos
 
+        n_real = None
+        if self.pad_once:
+            assert self.flash, "pad_once needs the flash (segment-id) path"
+            n_real = gh * gw + 1
+            t_pad = -(-n_real // 128) * 128
+            x = jnp.pad(x, ((0, 0), (0, t_pad - n_real), (0, 0)))
+
         # only blocks up to feature_layer are needed: the reference computes
         # all 12 but consumes only block-9 keys (dino.py:85-105) — truncating
         # the trunk is output-identical and 25% cheaper.
         feat_k = None
         for i in range(self.feature_layer + 1):
             blk = Block(self.dim, self.num_heads, flash=self.flash,
-                        attn_bf16=self.attn_bf16, name=f"block{i}")
+                        attn_bf16=self.attn_bf16, n_real=n_real,
+                        name=f"block{i}")
             if i == self.feature_layer:
                 _, feat_k = blk(x, return_k=True)
             else:
                 x = blk(x)
-        # keys: (b, heads, t, d) -> drop CLS -> dense (b, gh, gw, heads*d)
-        k = feat_k[:, :, 1:, :]                      # (b, h, hw, d)
+        # keys: (b, heads, t, d) -> drop CLS (and pad_once's trailing pad
+        # rows) -> dense (b, gh, gw, heads*d)
+        k = feat_k[:, :, 1:gh * gw + 1, :]           # (b, h, hw, d)
         k = k.transpose(0, 2, 1, 3).reshape(b, gh, gw, self.dim)
         return k
 

@@ -110,6 +110,24 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(put, tree)
 
 
+def local_rows(x):
+    """THIS process's rows of a P('data') axis-0-sharded global array,
+    concatenated in global row order — the output-side counterpart of
+    process_row_range (rows [lo, hi) in the same order the local loader
+    decoded them). Fully-addressable arrays pass through np.asarray."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        # replicated outputs (every shard covers the full array, e.g. faces)
+        # -> one shard IS the value; row-sharded -> dedup + order by start
+        by_start = {}
+        for s in x.addressable_shards:
+            by_start[s.index[0].start or 0] = s
+        shards = [by_start[k] for k in sorted(by_start)]
+        if len(shards) == 1:
+            return np.asarray(shards[0].data)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(x)
+
+
 def local_value(x):
     """Host value of a possibly non-fully-addressable (multi-host) array.
 

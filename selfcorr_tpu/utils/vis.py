@@ -66,6 +66,47 @@ def colorize_canonical(coords: np.ndarray, ranges=None) -> np.ndarray:
     return np.clip(out, 0.0, 1.0).astype(np.float32)
 
 
+def kp_colormap(n: int) -> np.ndarray:
+    """(n, 3) uint8 distinct BGR colors, one per keypoint index.
+
+    Role of the reference's fixed ADE20K table (model/util/colormap.py,
+    used by draw_kp at eval_utils.py:65); generated from an HSV wheel
+    instead of copying the table — only distinctness matters for the
+    keypoint panels."""
+    hsv = np.zeros((1, n, 3), np.uint8)
+    hsv[0, :, 0] = (np.arange(n) * 180 // max(n, 1)).astype(np.uint8)
+    # alternate saturation/value so neighbouring hues stay separable
+    hsv[0, :, 1] = np.where(np.arange(n) % 2 == 0, 255, 160)
+    hsv[0, :, 2] = np.where(np.arange(n) % 3 == 0, 255, 200)
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)[0]
+
+
+def draw_kp(img1_01: np.ndarray, img2_01: np.ndarray, kps1: np.ndarray,
+            kps2: np.ndarray, trans_kps2: np.ndarray, kp_mask: np.ndarray):
+    """CUB keypoint-transfer panels (eval_utils.py:64-84, tester.py:270-279):
+    returns BGR u8 (source image + source kps, target image + TRANSFERRED
+    kps, target image + GT kps) — the reference's `_1/_2/_2_gt.png` triple.
+    Keypoint xy are in [-1, 1]; one filled dot per visible-in-both keypoint,
+    colored by keypoint index."""
+    h, w = img1_01.shape[:2]
+    colors = kp_colormap(kps1.shape[0])
+
+    def to_pix(kps):
+        return np.stack([(kps[:, 0] * 0.5 + 0.5) * w,
+                         (kps[:, 1] * 0.5 + 0.5) * h], -1).astype(int)
+
+    p1, p2, pt = to_pix(kps1), to_pix(kps2), to_pix(trans_kps2)
+    out1, out2, outt = _to_bgr(img1_01), _to_bgr(img2_01), _to_bgr(img2_01)
+    for i in range(kps1.shape[0]):
+        if kp_mask[i] <= 0:
+            continue
+        c = tuple(int(x) for x in colors[i])
+        cv2.circle(out1, tuple(p1[i]), 3, c, -1)
+        cv2.circle(out2, tuple(p2[i]), 3, c, -1)
+        cv2.circle(outt, tuple(pt[i]), 3, c, -1)
+    return out1, outt, out2
+
+
 def draw_match(img01: np.ndarray, match: np.ndarray, mask: np.ndarray,
                ranges=None) -> np.ndarray:
     """Per-pixel canonical-coordinate visualization masked to the object."""

@@ -84,6 +84,28 @@ def main():
         print(f"TRAINER_OK rank={rank}", flush=True)
         return
 
+    if mode == "tester":
+        import json
+        from selfcorr_tpu.configs import Config
+        from selfcorr_tpu.eval.tester import Tester
+
+        cfg = Config(img_size=32, corr_h=8, corr_w=8, subdivide=1,
+                     batch_size=4, repeat=1, train=False, eval=True,
+                     eval_nocs=True, dataset_name="synthetic",
+                     use_depth=True, pretrain_k=8, n_corr_feat=16,
+                     codedim=8, use_pallas=False, num_devices=n_dev,
+                     num_workers=2, dframe_eval=1, depth_offset=5.0,
+                     pose_fit_max_points=256, checkpoint_dir=tmpdir,
+                     name="mh_tester")
+        tester = Tester(cfg)
+        assert tester.row_range is not None
+        results = tester.test()
+        with open(os.path.join(tmpdir, f"tester_{rank}.json"), "w") as f:
+            json.dump(results, f)
+        print(f"TESTER_OK rank={rank} range={tester.row_range} "
+              f"count={results['count']}", flush=True)
+        return
+
     raise SystemExit(f"unknown mode {mode}")
 
 

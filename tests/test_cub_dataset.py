@@ -98,7 +98,8 @@ def test_cub_eval_end_to_end(tmp_path):
                  n_corr_feat=16, codedim=8, pretrain_k=8, use_pallas=False,
                  train=False, eval=True, eval_cub=True, shuffle_test=True,
                  dframe_eval=1, pose_fit_max_points=256,
-                 depth_offset=5.0, checkpoint_dir=str(tmp_path), name="cubev")
+                 depth_offset=5.0, checkpoint_dir=str(tmp_path), name="cubev",
+                 vis_pred=True, vis_path=str(tmp_path / "vis"))
     from selfcorr_tpu.eval.tester import Tester
     tester = Tester(cfg)
 
@@ -116,3 +117,14 @@ def test_cub_eval_end_to_end(tmp_path):
     assert 0.0 <= results["mIoU"] <= 1.0
     for k in ("kp@0.1", "kp@0.2"):
         assert k in results and np.isfinite(results[k])
+
+    # keypoint-transfer panels (reference tester.py:270-279 triple)
+    import glob
+    vis = str(tmp_path / "vis")
+    ones = glob.glob(os.path.join(vis, "*_1.png"))
+    assert ones, "no KP source panels written"
+    for p1 in ones:
+        assert os.path.exists(p1.replace("_1.png", "_2.png"))
+        assert os.path.exists(p1.replace("_1.png", "_2_gt.png"))
+        im = cv2.imread(p1)
+        assert im is not None and im.shape == (32, 32, 3)

@@ -122,3 +122,24 @@ def test_two_process_trainer_smoke(tmp_path):
     assert "iter 2/2" in rank0 and "nan" not in rank0.lower()
     ckpt_dir = tmp_path / "mh_trainer" / "ckpt"
     assert ckpt_dir.exists()
+
+
+@pytest.mark.slow
+def test_two_process_tester_eval(tmp_path):
+    """End-to-end two-controller EVAL: each process decodes only its rows of
+    the global eval batch, the GSPMD forward + whole-batch RANSAC fit run
+    across processes, and the NOCS metric accumulators merge at summary time
+    — both ranks must report the IDENTICAL global summary covering every
+    sample once."""
+    import json
+    outs = _run_pair("tester", str(tmp_path), timeout=900)
+    assert any("TESTER_OK rank=0" in o for o in outs), outs[0][-2000:]
+    assert any("TESTER_OK rank=1" in o for o in outs)
+    with open(tmp_path / "tester_0.json") as f:
+        r0 = json.load(f)
+    with open(tmp_path / "tester_1.json") as f:
+        r1 = json.load(f)
+    assert r0 == r1  # merged summary is global and identical on every rank
+    assert r0["count"] == 12  # 2 videos x 6 frames, each scored exactly once
+    for k in ("iou@25", "iou@50", "5deg5cm", "median_deg"):
+        assert np.isfinite(r0[k])
