@@ -50,6 +50,14 @@ def main():
     ap.add_argument("--seed", type=int, default=0,
                     help="synthetic instance-family seed (different seeds = "
                          "different object instances)")
+    ap.add_argument("--vis_freq", type=int, default=10 ** 9,
+                    help="TensorBoard image-panel cadence (exercises the "
+                         "full vis path during long runs)")
+    ap.add_argument("--save_freq", type=int, default=500)
+    ap.add_argument("--eval_steps", type=str, default="",
+                    help="comma list of retained checkpoint steps to eval "
+                         "IN ADDITION to the final state — prints one JSON "
+                         "line per step (metric trajectory)")
     ap.add_argument("--warm_start_path", type=str, default="",
                     help="orbax ckpt dir of a previous run: init the "
                          "encoder (backbone+featnet+stats) from it — the "
@@ -100,7 +108,8 @@ def main():
         vert_lr_ratio=0.01, cam_lr_ratio=0.1,
         use_pallas=jax.default_backend() != "cpu",
         checkpoint_dir=run_dir, name=name,
-        save_freq=500, vis_freq=10 ** 9, batch_log_interval=50,
+        save_freq=args.save_freq, vis_freq=args.vis_freq,
+        batch_log_interval=50,
         num_workers=4, seed=args.seed,
         warm_start_path=args.warm_start_path,
     )
@@ -128,9 +137,24 @@ def main():
     dataset = SyntheticTest(tcfg, num_videos=4, frames_per_video=24,
                             seed=args.seed, shape="duo")
     import selfcorr_tpu.eval.tester as tester_mod
+    from selfcorr_tpu.utils import checkpoint as ckpt_mod
     orig = tester_mod.make_test_dataset
     tester_mod.make_test_dataset = lambda c: dataset
     try:
+        # metric trajectory over retained checkpoints (VERDICT r3 item 1:
+        # does median_deg keep falling over the full recipe?)
+        for s in [int(x) for x in args.eval_steps.split(",") if x]:
+            tester.state = ckpt_mod.restore_state(ckpt_dir, tester.state,
+                                                  step=s)
+            r = tester.test()
+            line = {"name": name, "iters": s, "trajectory": True,
+                    **{k: round(float(v), 4) for k, v in r.items()}}
+            print(json.dumps(line), flush=True)
+            with open(os.path.join(run_dir, f"{name}-trajectory.jsonl"),
+                      "a") as f:
+                f.write(json.dumps(line) + "\n")
+        if args.eval_steps:
+            tester.state = ckpt_mod.restore_state(ckpt_dir, tester.state)
         results = tester.test()
     finally:
         tester_mod.make_test_dataset = orig
