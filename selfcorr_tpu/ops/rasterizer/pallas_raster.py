@@ -689,15 +689,18 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
             def basis_reduce(v, sx, sy, s1):
                 # The affine-coefficient cotangents are v*{x, y, 1} summed
                 # over pixels; x is constant along sublanes and y along
-                # lanes, so ONE row-sum + ONE col-sum of v serve all three:
-                #   sum v*x = sum_c x_c * (sum_r v),  sum v*y symmetric.
-                # Replaces 2 full-rank multiplies + 3 two-step reduces per
-                # group with 2 full-rank reduces + tiny tails (~15% of the
-                # bwd kernel at flagship shapes).
+                # lanes, so ONE row-sum + ONE weighted row-sum of v serve
+                # all three:  sum v*x = sum_c x_c * (sum_r v),
+                #             sum v*y = sum_c (sum_r v*y).
+                # Axis choice matters on TPU: a sublane reduce (axis=1,
+                # TR=8 rows -> 3 shift-adds per vreg) is ~4x cheaper than a
+                # lane reduce (axis=2, TC=128 -> 7 shuffle steps), so BOTH
+                # full-rank reduces here run along sublanes and the lane
+                # reduces only ever see the (FF, 1, TC) row-sum tails.
                 vr = jnp.sum(v, axis=1, keepdims=True)     # (FF, 1, TC)
-                vc = jnp.sum(v, axis=2, keepdims=True)     # (FF, TR, 1)
+                vyr = jnp.sum(v * ys, axis=1, keepdims=True)
                 reduced[sx] = jnp.sum(vr * xs, axis=2)     # (FF, 1)
-                reduced[sy] = jnp.sum(vc * ys, axis=1)
+                reduced[sy] = jnp.sum(vyr, axis=2)
                 reduced[s1] = jnp.sum(vr, axis=2)
 
             chosen = None
@@ -743,9 +746,11 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
             # per-slot lane scatters), and accumulate into the grad block
             slot_vals = dict(reduced)
             for slot, vals in contribs:
-                # two-step reduce (lanes then sublanes) -> (FF, 1); a fused
-                # axis=(1,2) keepdims reduce trips Mosaic layout inference
-                red = jnp.sum(jnp.sum(vals, axis=2, keepdims=True), axis=1)
+                # two-step reduce -> (FF, 1); a fused axis=(1,2) keepdims
+                # reduce trips Mosaic layout inference. SUBLANES FIRST: the
+                # full-rank step is then the cheap 8-row reduce and the
+                # expensive 128-lane reduce only sees the (FF, 1, TC) tail.
+                red = jnp.sum(jnp.sum(vals, axis=1, keepdims=True), axis=2)
                 slot_vals[slot] = slot_vals.get(slot, 0.0) + red
             zero_col = jnp.zeros((FF, 1), jnp.float32)
             k_tot = grad_ref.shape[-1]
