@@ -129,3 +129,39 @@ def test_attention_impl_flags():
     assert ybf.shape == y32.shape and ybf.dtype == jnp.float32
     rel = float(jnp.abs(ybf - y32).max() / (jnp.abs(y32).max() + 1e-9))
     assert rel < 0.05, rel
+
+
+def test_pad_once_matches_default_trunk(monkeypatch):
+    """pad_once pads the trunk to a 128-multiple ONCE at entry (vit.py
+    DinoViTS8.pad_once); pad rows pass through LayerNorm/MLP but must never
+    leak into real tokens. The pallas flash kernel is TPU-only, so on CPU we
+    substitute a segment-masked XLA attention with the same semantics
+    (real/pad queries attend only to their own segment) and assert the
+    padded trunk's features match the default unpadded path bit-for-nearly."""
+    from selfcorr_tpu.models import vit as vit_mod
+
+    def mock_flash(q, k, v, n_real=None):
+        b, t, h, d = q.shape
+        if n_real is None:
+            n_real = t
+        seg = jnp.arange(t) >= n_real
+        mask = (seg[None, :, None] == seg[None, None, :])[:, None]
+        return jax.nn.dot_product_attention(q, k, v, mask=mask)
+
+    monkeypatch.setattr(vit_mod, "_flash_attention", mock_flash)
+
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    base = vit_mod.DinoViTS8(feature_layer=2)
+    padded = vit_mod.DinoViTS8(feature_layer=2, flash=True, pad_once=True)
+    params = base.init(jax.random.PRNGKey(0), img)["params"]
+    # pad_once adds no parameters
+    pp = padded.init(jax.random.PRNGKey(0), img)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(pp))
+
+    y0 = base.apply({"params": params}, img)       # XLA attention, t=17
+    y1 = padded.apply({"params": params}, img)     # masked attn, t=128
+    assert y1.shape == y0.shape
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-4, atol=2e-5)
