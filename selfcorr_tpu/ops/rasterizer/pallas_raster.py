@@ -73,6 +73,12 @@ N_SLOTS = 59
 S_SURF = N_SLOTS  # optional surface-texture texels (R^2 x rgb), appended
 
 _BIG = 1e9
+# Backward-kernel pixel reductions: False = VPU (sublane-first two-step
+# reduces), True = one batched MXU matmul streams every per-pair gradient
+# field against the [1, x] pixel basis (lane reduces never touch the VPU).
+# A/B'd on the real chip via scripts/ab_bwd_reduce.py; both paths are exact
+# up to summation order and pinned by tests/test_raster_pallas.py.
+MXU_REDUCE = False
 # y-band quantization for the face sort: band-major, x-minor ordering keeps
 # each streamed chunk tight in BOTH axes, so the per-chunk bbox test can cull
 # against the column tile as well as the row strip. 64 bands over [-1, 1].
@@ -564,7 +570,7 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
                 ga1_ref, ga2_ref, gd_ref, gtr_ref, gtg_ref, gtb_ref,
                 grad_ref, *, image_size, n_chunks,
                 sigma1, sigma2, gamma_d, gamma_t, near, far, bg_eps, z_offset,
-                tex_res=0):
+                tex_res=0, mxu_reduce=False):
     s_img = image_size
     tc = min(TC, s_img)
     xs, ys = _tile_pixel_coords(s_img)
@@ -598,6 +604,16 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
     bi = pl.program_id(0)
     tile = pl.program_id(1) * (s_img // tc) + pl.program_id(2)
     n_words = -(-n_chunks // 32)
+
+    if mxu_reduce:
+        # [1, x] pixel-basis matrix for the batched-matmul reduction path,
+        # built ONCE outside the chunk loop (loop-invariant); column 1
+        # reproduces _tile_pixel_coords' xs exactly.
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (tc, 2), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (tc, 2), 1)
+        xb = (2.0 * (pl.program_id(2) * tc + lane_i).astype(jnp.float32)
+              + 1.0 - s_img) / s_img
+        basis2 = jnp.where(col_i == 0, 1.0, xb)          # (tc, 2)
 
     def body(ci, _):
         word = masks_ref[bi, tile * n_words + ci // 32]
@@ -685,23 +701,30 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
 
             contribs = []  # list of (slot, (FF,TR,tc) value) to accumulate
             reduced = {}  # slot -> pre-reduced (FF, 1) column
+            basis_jobs = []  # MXU path: deferred (v, sx, sy, s1) jobs
 
-            def basis_reduce(v, sx, sy, s1):
-                # The affine-coefficient cotangents are v*{x, y, 1} summed
-                # over pixels; x is constant along sublanes and y along
-                # lanes, so ONE row-sum + ONE weighted row-sum of v serve
-                # all three:  sum v*x = sum_c x_c * (sum_r v),
-                #             sum v*y = sum_c (sum_r v*y).
-                # Axis choice matters on TPU: a sublane reduce (axis=1,
-                # TR=8 rows -> 3 shift-adds per vreg) is ~4x cheaper than a
-                # lane reduce (axis=2, TC=128 -> 7 shuffle steps), so BOTH
-                # full-rank reduces here run along sublanes and the lane
-                # reduces only ever see the (FF, 1, TC) row-sum tails.
-                vr = jnp.sum(v, axis=1, keepdims=True)     # (FF, 1, TC)
-                vyr = jnp.sum(v * ys, axis=1, keepdims=True)
-                reduced[sx] = jnp.sum(vr * xs, axis=2)     # (FF, 1)
-                reduced[sy] = jnp.sum(vyr, axis=2)
-                reduced[s1] = jnp.sum(vr, axis=2)
+            if mxu_reduce:
+                def basis_reduce(v, sx, sy, s1):
+                    basis_jobs.append((v, sx, sy, s1))
+            else:
+                def basis_reduce(v, sx, sy, s1):
+                    # The affine-coefficient cotangents are v*{x, y, 1}
+                    # summed over pixels; x is constant along sublanes and
+                    # y along lanes, so ONE row-sum + ONE weighted row-sum
+                    # of v serve all three:
+                    #   sum v*x = sum_c x_c * (sum_r v),
+                    #   sum v*y = sum_c (sum_r v*y).
+                    # Axis choice matters on TPU: a sublane reduce (axis=1,
+                    # TR=8 rows -> 3 shift-adds per vreg) is ~4x cheaper
+                    # than a lane reduce (axis=2, TC=128 -> 7 shuffle
+                    # steps), so BOTH full-rank reduces here run along
+                    # sublanes and the lane reduces only ever see the
+                    # (FF, 1, TC) row-sum tails.
+                    vr = jnp.sum(v, axis=1, keepdims=True)     # (FF, 1, TC)
+                    vyr = jnp.sum(v * ys, axis=1, keepdims=True)
+                    reduced[sx] = jnp.sum(vr * xs, axis=2)     # (FF, 1)
+                    reduced[sy] = jnp.sum(vyr, axis=2)
+                    reduced[s1] = jnp.sum(vr, axis=2)
 
             chosen = None
             for e in range(3):
@@ -745,13 +768,43 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
             # shot (static layout -> a single concatenated write, no
             # per-slot lane scatters), and accumulate into the grad block
             slot_vals = dict(reduced)
-            for slot, vals in contribs:
-                # two-step reduce -> (FF, 1); a fused axis=(1,2) keepdims
-                # reduce trips Mosaic layout inference. SUBLANES FIRST: the
-                # full-rank step is then the cheap 8-row reduce and the
-                # expensive 128-lane reduce only sees the (FF, 1, TC) tail.
-                red = jnp.sum(jnp.sum(vals, axis=1, keepdims=True), axis=2)
-                slot_vals[slot] = slot_vals.get(slot, 0.0) + red
+            if mxu_reduce:
+                # ONE matmul streams every gradient field's rows through
+                # the MXU against the [1, x] basis: column 0 gives per-row
+                # (lane) sums, column 1 the x-weighted sums. All remaining
+                # work is tiny (FF, TR, 2) tails — the VPU never runs a
+                # lane reduce. (FF,TR,tc) -> (FF*TR,tc) merges leading dims
+                # into sublanes (layout-free); row slices stay 128-aligned.
+                fields = [v for v, *_ in basis_jobs] + [v for _, v in contribs]
+                vmat = jnp.concatenate(
+                    [f.reshape(FF * TR, tc) for f in fields], axis=0)
+                ysum = jax.lax.dot_general(
+                    vmat, basis2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)   # (n*FF*TR, 2)
+                n_b = len(basis_jobs)
+                for i, (_, sx, sy, s1) in enumerate(basis_jobs):
+                    yi = ysum[i * FF * TR:(i + 1) * FF * TR].reshape(
+                        FF, TR, 2)
+                    rs = yi[:, :, 0:1]                     # per-row sums
+                    slot_vals[s1] = jnp.sum(rs, axis=1)
+                    slot_vals[sy] = jnp.sum(rs * ys, axis=1)
+                    slot_vals[sx] = jnp.sum(yi[:, :, 1:2], axis=1)
+                for j, (slot, _) in enumerate(contribs):
+                    yj = ysum[(n_b + j) * FF * TR:
+                              (n_b + j + 1) * FF * TR].reshape(FF, TR, 2)
+                    red = jnp.sum(yj[:, :, 0:1], axis=1)
+                    slot_vals[slot] = slot_vals.get(slot, 0.0) + red
+            else:
+                for slot, vals in contribs:
+                    # two-step reduce -> (FF, 1); a fused axis=(1,2)
+                    # keepdims reduce trips Mosaic layout inference.
+                    # SUBLANES FIRST: the full-rank step is then the cheap
+                    # 8-row reduce and the expensive 128-lane reduce only
+                    # sees the (FF, 1, TC) tail.
+                    red = jnp.sum(jnp.sum(vals, axis=1, keepdims=True),
+                                  axis=2)
+                    slot_vals[slot] = slot_vals.get(slot, 0.0) + red
             zero_col = jnp.zeros((FF, 1), jnp.float32)
             k_tot = grad_ref.shape[-1]
             assembled = jnp.concatenate(
@@ -818,10 +871,10 @@ def _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
 
 @functools.partial(jax.jit, static_argnames=(
     "image_size", "sigma1", "sigma2", "gamma_d", "gamma_t", "near", "far",
-    "bg_eps", "z_offset", "interpret", "tex_res"))
+    "bg_eps", "z_offset", "interpret", "tex_res", "mxu_reduce"))
 def _bwd_call(consts, fwd_out, grads, image_size, sigma1, sigma2,
               gamma_d, gamma_t, near, far, bg_eps, z_offset, interpret=False,
-              tex_res=0):
+              tex_res=0, mxu_reduce=False):
     b, f_pad, k_tot = consts.shape
     grid, consts_spec, pix_spec, tc = _grid_and_specs(b, f_pad, image_size,
                                                       k_tot)
@@ -831,7 +884,7 @@ def _bwd_call(consts, fwd_out, grads, image_size, sigma1, sigma2,
         _bwd_kernel, image_size=image_size, n_chunks=f_pad // FF,
         sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d, gamma_t=gamma_t,
         near=near, far=far, bg_eps=bg_eps, z_offset=z_offset,
-        tex_res=tex_res)
+        tex_res=tex_res, mxu_reduce=mxu_reduce)
     grad_spec = pl.BlockSpec((1, f_pad, k_tot),
                              lambda bi, pr, pc, *_: (bi, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -883,7 +936,7 @@ def _core_bwd(image_size, sigma1, sigma2, gamma_d, gamma_t, near, far,
     grads = {k: jnp.asarray(v, jnp.float32) for k, v in grads.items()}
     dconsts = _bwd_call(consts, fwd_out, grads, image_size, sigma1, sigma2,
                         gamma_d, gamma_t, near, far, bg_eps, z_offset,
-                        interpret, tex_res)
+                        interpret, tex_res, mxu_reduce=MXU_REDUCE)
     return (dconsts,)
 
 

@@ -181,3 +181,29 @@ def test_gradients_match_dense_with_sorting():
         scale = np.abs(gd).max() + 1e-8
         np.testing.assert_allclose(gp / scale, gd / scale, atol=5e-3,
                                    err_msg=name)
+
+
+def test_gradients_match_dense_mxu_reduce(monkeypatch):
+    """The MXU_REDUCE backward arm (batched-matmul pixel reductions,
+    pallas_raster.MXU_REDUCE) must produce the same gradients as the
+    default VPU arm; mxu_reduce is a static arg of _bwd_call so flipping
+    the module flag retraces correctly in-process."""
+    from selfcorr_tpu.ops.rasterizer import pallas_raster as P
+
+    fv, st, ht = make_scene(seed=3, b=1, n_faces=6, size=0.9)
+
+    def f(fv_, st_):
+        out = render_fused(fv_, st_, ht, S, backend="pallas",
+                           interpret=True)
+        return _loss(out)
+
+    g_vpu = jax.grad(f, argnums=(0, 1))(fv, st)
+    monkeypatch.setattr(P, "MXU_REDUCE", True)
+    g_mxu = jax.grad(f, argnums=(0, 1))(fv, st)
+    for gv, gm, name in [(g_vpu[0], g_mxu[0], "verts"),
+                         (g_vpu[1], g_mxu[1], "soft_tex")]:
+        gv, gm = np.asarray(gv), np.asarray(gm)
+        scale = np.abs(gv).max() + 1e-8
+        # matmul vs tree-reduce summation order: ~1e-5-level f32 noise
+        np.testing.assert_allclose(gm / scale, gv / scale, atol=2e-4,
+                                   err_msg=name)
