@@ -160,6 +160,19 @@ class Config:
     process_id: int = -1
     profile_steps: int = 0                # capture a jax.profiler trace for
                                           # steps [10, 10+profile_steps)
+    host_rss_restart_gb: float = 90.0     # long-run resilience: when host
+                                          # RSS passes this, the Trainer
+                                          # checkpoints and re-execs itself
+                                          # (auto-resume continues the run).
+                                          # Guards against host-side leaks
+                                          # outside our control — the
+                                          # tunneled IFRT-proxy transport
+                                          # retains a copy of EVERY
+                                          # host->device transfer (~15 MB/
+                                          # step at flagship shapes,
+                                          # measured; jaxlib client-side,
+                                          # .delete() does not release it).
+                                          # 0 disables; single-process only.
     symmetry_npts: int = 10000            # surface samples in symmetry loss
     ransac_iters: int = 100
     pose_fit_max_points: int = 16384      # padded point budget for pose fit

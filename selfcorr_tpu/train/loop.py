@@ -9,10 +9,23 @@ resume mid-run, trainer.py:200-206).
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 import jax
 import numpy as np
+
+
+def _host_rss_gb() -> float:
+    """Resident set size of this process in GB (0.0 if unreadable)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
 
 from selfcorr_tpu.configs import Config
 from selfcorr_tpu.data.loader import TrainLoader
@@ -165,6 +178,26 @@ class Trainer:
                           f"loss {vals['total_loss']:.4f} "
                           f"{dt * 1000:.0f} ms/iter "
                           f"({batch['img'].shape[0] / dt:.1f} imgs/s)")
+                if (cfg.host_rss_restart_gb > 0
+                        and jax.process_count() == 1
+                        and step_idx + 1 < cfg.total_iters
+                        and _host_rss_gb() > cfg.host_rss_restart_gb):
+                    # Long-run resilience against host-side leaks outside
+                    # our control (the tunneled IFRT-proxy client retains a
+                    # copy of every host->device transfer; a 20k-iter
+                    # flagship run was OOM-killed at 130 GB). Checkpoint,
+                    # shut the loader down, and replace the process image
+                    # with a fresh invocation of the same command line —
+                    # auto-resume (above) continues from this step.
+                    self.save(step_idx + 1)
+                    loader.close()
+                    if self.writer is not None:
+                        self.writer.flush()
+                    print(f"host RSS {_host_rss_gb():.1f} GB > "
+                          f"{cfg.host_rss_restart_gb:.0f} GB budget: "
+                          "re-exec to reclaim leaked transfer buffers",
+                          flush=True)
+                    os.execv(sys.executable, [sys.executable] + sys.argv)
                 t0 = time.time()
                 overhead = 0.0
 
