@@ -75,9 +75,20 @@ S_SURF = N_SLOTS  # optional surface-texture texels (R^2 x rgb), appended
 _BIG = 1e9
 # Backward-kernel pixel reductions: False = VPU (sublane-first two-step
 # reduces), True = one batched MXU matmul streams every per-pair gradient
-# field against the [1, x] pixel basis (lane reduces never touch the VPU).
-# A/B'd on the real chip via scripts/ab_bwd_reduce.py; both paths are exact
-# up to summation order and pinned by tests/test_raster_pallas.py.
+# field against the [1, x] pixel basis. MEASURED AND REJECTED on the v5e
+# (scripts/ab_bwd_reduce.py, A-B-A): bwd 107.1 -> 167.5 ms scattered /
+# 78.8 -> 121.2 ms ico — the (24*128, 128) row-streaming matmul + field
+# concat costs far more than Mosaic's native reduces. The VPU arm's
+# sublane-first ordering also measured NEUTRAL (122.9 -> 123.7 ms ico
+# fwd+bwd vs round 3; kept: strictly fewer full-rank ops). Together the
+# two arms pin the conclusion: the backward is bound by ELEMENTWISE
+# per-pair chain arithmetic, not by its reductions — at ~80 ms ico it
+# runs ~3e11 VPU ops, near the elementwise roofline for its live
+# (tile, chunk) pair count. The remaining waste is structural (the
+# 128-lane pixel tile vs the ~24-40 px face support: most lanes of most
+# pairs are outside any face's reach), and recovering it needs a sparse
+# pair-list kernel, not micro-optimization of this one. Flag + test stay
+# as the documented rejection (tests/test_raster_pallas.py pins both).
 MXU_REDUCE = False
 # y-band quantization for the face sort: band-major, x-minor ordering keeps
 # each streamed chunk tight in BOTH axes, so the per-chunk bbox test can cull
