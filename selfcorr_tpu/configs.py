@@ -144,6 +144,14 @@ class Config:
                                           # less H2D traffic on the tunnel;
                                           # sub-quantization-noise effect)
     synthetic_shape: str = "ellipsoid"    # synthetic dataset shape family
+    synthetic_on_device: bool = False     # generate synthetic train batches
+                                          # ON the accelerator (data/
+                                          # synthetic_device.py): zero per-
+                                          # step H2D traffic (sidesteps the
+                                          # transport leak above) and zero
+                                          # host loader work. Single-process,
+                                          # single-device path; other
+                                          # configurations use the loader.
                                           # (ellipsoid | duo); duo is the
                                           # rotationally-unambiguous shape
                                           # for deg/cm validation

@@ -99,7 +99,11 @@ class Trainer:
     def _upload(self, batch):
         """Host batch -> device (sharded over the mesh when present).
         device_put is asynchronous: issuing it right after dispatching the
-        step overlaps the next batch's H2D transfer with the running step."""
+        step overlaps the next batch's H2D transfer with the running step.
+        Device-generated batches (synthetic_on_device) pass through."""
+        if (isinstance(batch, dict) and batch
+                and isinstance(next(iter(batch.values())), jax.Array)):
+            return batch
         if self.mesh is not None:
             return shard_batch(self.mesh, batch)
         return jax.device_put(batch)
@@ -113,18 +117,39 @@ class Trainer:
         # MAIN thread uploads batch i+1 immediately after dispatching step i
         # (double buffering), so the transfer rides the running step.
         from selfcorr_tpu.train.step import compress_batch_host
-        row_range = None
-        if jax.process_count() > 1:
-            # decode only the global-batch rows this process's devices own;
-            # the deterministic sample plan is identical on every process
-            rows = self.n_dev * cfg.batch_size * cfg.repeat
-            row_range = process_row_range(self.mesh, rows)
-        loader = TrainLoader(dataset, cfg,
-                             use_processes=cfg.loader_processes,
-                             host_transform=(compress_batch_host
-                                             if cfg.compact_transfer
-                                             else None),
-                             row_range=row_range)
+        use_dev_synth = (cfg.synthetic_on_device
+                         and cfg.dataset_name == "synthetic"
+                         and self.mesh is None and jax.process_count() == 1)
+        if use_dev_synth:
+            # batches are generated ON the accelerator (zero per-step H2D
+            # traffic, zero host loader work — data/synthetic_device.py);
+            # _upload passes device batches through untouched
+            from selfcorr_tpu.data.synthetic_device import make_device_synth
+            gen_fn = make_device_synth(cfg, dataset.videos)
+            gen_key = jax.random.PRNGKey(cfg.seed + 2)
+            loader = None
+
+            def _dev_batches():
+                s = self.start_step
+                while s < cfg.total_iters:
+                    yield gen_fn(jax.random.fold_in(gen_key, s))
+                    s += 1
+            it = iter(_dev_batches())
+        else:
+            row_range = None
+            if jax.process_count() > 1:
+                # decode only the global-batch rows this process's devices
+                # own; the deterministic sample plan is identical on every
+                # process
+                rows = self.n_dev * cfg.batch_size * cfg.repeat
+                row_range = process_row_range(self.mesh, rows)
+            loader = TrainLoader(dataset, cfg,
+                                 use_processes=cfg.loader_processes,
+                                 host_transform=(compress_batch_host
+                                                 if cfg.compact_transfer
+                                                 else None),
+                                 row_range=row_range)
+            it = iter(loader)
         key = jax.random.PRNGKey(cfg.seed + 1)
 
         import jax.numpy as jnp
@@ -135,7 +160,6 @@ class Trainer:
         # steady-state loop, not checkpoint/panel cost (VERDICT r3 weak #6)
         overhead = 0.0
         metrics = None
-        it = iter(loader)
         host0 = next(it, None)
         nxt = self._upload(host0) if host0 is not None else None
         i = 0
@@ -190,7 +214,8 @@ class Trainer:
                     # with a fresh invocation of the same command line —
                     # auto-resume (above) continues from this step.
                     self.save(step_idx + 1)
-                    loader.close()
+                    if loader is not None:
+                        loader.close()
                     if self.writer is not None:
                         self.writer.flush()
                     print(f"host RSS {_host_rss_gb():.1f} GB > "
@@ -217,7 +242,8 @@ class Trainer:
                 tv = time.time()
                 self.save(step_idx + 1)
                 overhead += time.time() - tv
-        loader.close()
+        if loader is not None:
+            loader.close()
         self.save(int(local_value(self.state.step)))
 
     def save(self, step: int):
