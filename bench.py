@@ -95,12 +95,17 @@ def bench_train_step(on_cpu: bool) -> float:
     return best
 
 
-def bench_trainer_loop(on_cpu: bool):
+def bench_trainer_loop(on_cpu: bool, on_device_data: bool = False):
     """END-TO-END Trainer throughput: loader threads, host->device upload
     (double-buffered), step dispatch, periodic metric fetch — what a real
     training run gets (reference trainer.py:105-129). Returns (best, median)
     steady-state interval imgs/s: best ~= hiccup-free rate on the tunneled
-    transport, median = typical as-measured rate."""
+    transport, median = typical as-measured rate.
+
+    on_device_data=True additionally reports the synthetic_on_device path
+    (batches generated on the accelerator, no loader/upload): its median
+    ~= best because the loop never touches the leaky, hiccup-prone host
+    transport (PERF.md round 4: 110.4 median vs the host loader's 31-72)."""
     from selfcorr_tpu.train.loop import Trainer
 
     run_dir = tempfile.mkdtemp(prefix="bench_trainer_")
@@ -108,7 +113,8 @@ def bench_trainer_loop(on_cpu: bool):
     cfg = flagship_cfg(
         on_cpu, dataset_name="synthetic", total_iters=iters,
         batch_log_interval=10, checkpoint_dir=run_dir, name="bench",
-        save_freq=10 ** 9, vis_freq=10 ** 9, num_workers=8)
+        save_freq=10 ** 9, vis_freq=10 ** 9, num_workers=8,
+        synthetic_on_device=on_device_data)
     if on_cpu:  # keep the CPU smoke test small
         cfg = cfg.replace(img_size=32, corr_h=8, corr_w=8, subdivide=1,
                           batch_size=2, repeat=2, pretrain_k=8,
@@ -336,6 +342,13 @@ def main():
         re_ips, re_med = bench_trainer_loop(on_cpu)
         if re_ips is not None and (trainer_ips is None or re_ips > trainer_ips):
             trainer_ips, trainer_ips_med = re_ips, re_med
+    dev_ips = dev_ips_med = None
+    if not on_cpu:
+        try:
+            dev_ips, dev_ips_med = bench_trainer_loop(on_cpu,
+                                                      on_device_data=True)
+        except Exception as e:  # never lose the headline number to this
+            print(f"on-device loop bench failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip_wild6d_laptop",
@@ -348,6 +361,10 @@ def main():
             "trainer_loop_imgs_per_sec_median": (
                 None if trainer_ips_med is None
                 else round(trainer_ips_med, 2)),
+            "trainer_loop_devsynth_imgs_per_sec": (
+                None if dev_ips is None else round(dev_ips, 2)),
+            "trainer_loop_devsynth_imgs_per_sec_median": (
+                None if dev_ips_med is None else round(dev_ips_med, 2)),
             "predict_fps_batch16": round(predict_fps, 2),
             "baseline_imgs_per_sec_estimated": BASELINE_IMGS_PER_SEC,
             "baseline_estimated": True,
