@@ -177,7 +177,48 @@ def pack_constants(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
     return packed
 
 
-def compute_chunk_info(consts: jnp.ndarray, image_size: int, pad: float):
+# Lane-split tile geometry (16x64-pixel regions packed one per vreg, lane =
+# row_half*64 + col%64) vs the classic 8 x min(128, S) row strip. Chunk
+# bboxes are narrow in x for mesh-coherent scenes (band-major/x-minor face
+# sort), so halving the tile width halves the dead lanes per live
+# (tile, chunk) pair; predicted 0.81x pair-work on the ico scene
+# (scripts/analyze_tile_waste.py), measured on-chip in PERF.md round 4.
+# Module flag (not a per-call arg) so A/B scripts can flip it; flips require
+# jax.clear_caches() — the jitted wrappers do not key on it.
+LANE_SPLIT = True
+
+
+def lane_split_for(image_size: int) -> bool:
+    """The lane-split tile geometry applies whenever the image tiles evenly
+    into 16x64-pixel blocks (64 <= all training/eval sizes here). Smaller /
+    odd sizes keep the classic 8 x min(128, S) tiles."""
+    return (LANE_SPLIT and image_size % (2 * TR) == 0
+            and image_size % (TC // 2) == 0)
+
+
+def _scramble(img: jnp.ndarray) -> jnp.ndarray:
+    """(B, S, S) image -> (B, S/2, 2S) lane-split layout: the kernel block
+    (1, 8, 128) then covers a 16-row x 64-col pixel region with lane
+    l = (row_half * 64 + col%64) — one full vreg per narrow tile instead of
+    a half-wasted 8x128 strip (see _tile_pixel_coords). Pure XLA transpose,
+    ~8 MB per flagship array; measured in the lane-split A/B (PERF.md)."""
+    b, s, _ = img.shape
+    t = img.reshape(b, s // (2 * TR), 2, TR, s // (TC // 2), TC // 2)
+    t = t.transpose(0, 1, 3, 4, 2, 5)
+    return t.reshape(b, s // 2, 2 * s)
+
+
+def _unscramble(z: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _scramble: (B, S/2, 2S) -> (B, S, S)."""
+    b, h, w = z.shape
+    s = h * 2
+    t = z.reshape(b, s // (2 * TR), TR, s // (TC // 2), 2, TC // 2)
+    t = t.transpose(0, 1, 4, 2, 3, 5)
+    return t.reshape(b, s, s)
+
+
+def compute_chunk_info(consts: jnp.ndarray, image_size: int, pad: float,
+                       lane_split: bool = False):
     """EXACT per-(batch, row-strip, column-tile) chunk culling, computed
     outside the kernel from the packed bboxes.
 
@@ -192,6 +233,10 @@ def compute_chunk_info(consts: jnp.ndarray, image_size: int, pad: float):
         chunk ci's bbox overlaps tile (r, c)'s pad-expanded box
         (W = ceil(n_chunks/32)).
 
+    lane_split switches the tile geometry from 8 x min(128, S) row strips
+    to the 16x64-pixel vreg tiles of the lane-split layout (R = S/16,
+    C = S/64 — see _scramble/_tile_pixel_coords).
+
     Replaces the kernel's in-loop per-chunk bbox test (a VMEM load + vector
     reduce per SKIPPED chunk) with a scalar SMEM bit test, and — unlike the
     row-range-only cull — also rejects chunks that miss the COLUMN tile
@@ -203,7 +248,10 @@ def compute_chunk_info(consts: jnp.ndarray, image_size: int, pad: float):
     outputs are bit-identical (pinned by tests/test_raster_pallas.py).
     """
     s = image_size
-    tc = min(TC, s)
+    if lane_split:
+        tr_px, tc_px = 2 * TR, TC // 2    # 16 x 64 pixel tiles (one vreg)
+    else:
+        tr_px, tc_px = TR, min(TC, s)
     b, f_pad, _ = consts.shape
     nc = f_pad // FF
     bb = consts[..., S_BBOX:S_BBOX + 4].reshape(b, nc, FF, 4)
@@ -212,14 +260,14 @@ def compute_chunk_info(consts: jnp.ndarray, image_size: int, pad: float):
     cymin = jnp.min(bb[..., 2], axis=-1)
     cymax = jnp.max(jnp.where(bb[..., 2] >= _BIG, -_BIG, bb[..., 3]), axis=-1)
 
-    n_rows = s // TR
-    n_cols = s // tc
+    n_rows = s // tr_px
+    n_cols = s // tc_px
     k = jnp.arange(n_rows, dtype=jnp.float32)
-    y_hi = (s - 1.0 - 2.0 * (k * TR)) / s + pad           # (R,)
-    y_lo = (s - 1.0 - 2.0 * (k * TR + TR - 1)) / s - pad
+    y_hi = (s - 1.0 - 2.0 * (k * tr_px)) / s + pad        # (R,)
+    y_lo = (s - 1.0 - 2.0 * (k * tr_px + tr_px - 1)) / s - pad
     c = jnp.arange(n_cols, dtype=jnp.float32)
-    x_lo = (2.0 * (c * tc) + 1.0 - s) / s - pad           # (C,)
-    x_hi = (2.0 * ((c + 1.0) * tc - 1.0) + 1.0 - s) / s + pad
+    x_lo = (2.0 * (c * tc_px) + 1.0 - s) / s - pad        # (C,)
+    x_hi = (2.0 * ((c + 1.0) * tc_px - 1.0) + 1.0 - s) / s + pad
 
     # (B, R, C, NC) overlap of chunk bbox with the pad-expanded tile box
     ov_y = ((cymin[:, None, :] <= y_hi[None, :, None])
@@ -258,7 +306,7 @@ def _cols(cv, j, n=1):
     return [cv[:, j + i:j + i + 1][:, :, None] for i in range(n)]
 
 
-def _affine(cv, j, xs, ys, lane_extra=None, sub_extra=None):
+def _affine(cv, j, xs, ys, lane_extra=None, sub_extra=None, yh=None):
     """a*xs + b*ys + c evaluated as (lane part) + (sublane part).
 
     xs varies only along lanes ((1,1,TC)) and ys only along sublanes
@@ -268,9 +316,16 @@ def _affine(cv, j, xs, ys, lane_extra=None, sub_extra=None):
     p2). Measured effect is modest (~2 ms of the 125 ms ico fwd+bwd,
     PERF.md round 3 — Mosaic evidently already folds most of the naive
     form); kept because it is strictly fewer full-rank ops and exact up
-    to the last ulp."""
+    to the last ulp.
+
+    yh (lane-split geometry): the lane-varying component of the pixel y
+    coordinate (y = ys + yh, see _tile_pixel_coords); b*yh folds into the
+    LANE part, keeping the full-rank op count identical to the classic
+    layout."""
     a, b, c = _cols(cv, j, 3)
     lane = a * xs + c                       # (FF, 1, TC)
+    if yh is not None:
+        lane = lane + b * yh
     if lane_extra is not None:
         lane = lane + lane_extra
     sub = b * ys                            # (FF, TR, 1)
@@ -279,15 +334,21 @@ def _affine(cv, j, xs, ys, lane_extra=None, sub_extra=None):
     return lane + sub
 
 
-def _chunk_geometry(cv, xs, ys, x2, y2, sigma1, sigma2, near, far):
+def _chunk_geometry(cv, xs, ys, x2, y2, sigma1, sigma2, near, far,
+                    yh=None, cross=None):
     """All per-(face-in-chunk, pixel) quantities. Shapes (FF, TR, TC).
 
     x2 = xs*xs and y2 = ys*ys are passed separately (not as the full-rank
     sum p2) so the |p-v0|^2 affines can fold them into their lane/sublane
-    parts — see _affine."""
-    w0 = _affine(cv, S_WA + 0, xs, ys)
-    w1 = _affine(cv, S_WA + 3, xs, ys)
-    w2 = _affine(cv, S_WA + 6, xs, ys)
+    parts — see _affine.
+
+    Lane-split geometry: y = ys (sublane part) + yh (lane part), so y^2
+    picks up the face-independent full-rank cross term 2*ys*yh — the
+    caller computes it ONCE per tile and passes it as `cross` (and folds
+    yh^2 into x2); the only extra full-rank work is one add per edge."""
+    w0 = _affine(cv, S_WA + 0, xs, ys, yh=yh)
+    w1 = _affine(cv, S_WA + 3, xs, ys, yh=yh)
+    w2 = _affine(cv, S_WA + 6, xs, ys, yh=yh)
     inside = ((w0 > 0) & (w0 < 1) & (w1 > 0) & (w1 < 1)
               & (w2 > 0) & (w2 < 1))
 
@@ -304,9 +365,12 @@ def _chunk_geometry(cv, xs, ys, x2, y2, sigma1, sigma2, near, far):
     dseg2 = None
     seg_cache = []
     for e in range(3):
-        s = _affine(cv, S_SEG + 3 * e, xs, ys)
+        s = _affine(cv, S_SEG + 3 * e, xs, ys, yh=yh)
         t = jnp.clip(s, 0.0, 1.0)
-        pv0 = _affine(cv, S_PC + 3 * e, xs, ys, lane_extra=x2, sub_extra=y2)
+        pv0 = _affine(cv, S_PC + 3 * e, xs, ys, lane_extra=x2, sub_extra=y2,
+                      yh=yh)
+        if cross is not None:
+            pv0 = pv0 + cross
         e2 = _cols(cv, S_E2 + e)
         d2 = jnp.maximum(pv0 - t * (2.0 * s - t) * e2, 0.0)  # segment dist^2
         seg_cache.append((s, t, e2, d2))
@@ -411,16 +475,39 @@ def _softmax_update(m, s, accs, zn_masked, d_cov, values, gamma):
     return m_new, s_new, accs_new
 
 
-def _tile_pixel_coords(image_size):
-    """Static per-tile NDC coordinate builders from grid ids (pr, pc)."""
+def _tile_pixel_coords(image_size, lane_split=False):
+    """Static per-tile NDC coordinate builders from grid ids (pr, pc).
+
+    Classic layout: the (8, min(128, S)) block is a row strip; ys varies
+    along sublanes only, xs along lanes only. Returns (xs, ys, None).
+
+    Lane-split layout (lane_split_for(S)): the (8, 128) block covers a
+    16-row x 64-col pixel region, lane l = row_half * 64 + (col % 64)
+    (array layout from _scramble). The pixel y coordinate then splits as
+    y = ys + yh with ys the sublane part (rows pr*16 + sub) and yh the
+    lane part (-16 * half / S); xs repeats its 64 columns across both lane
+    halves. Returns (xs, ys, yh)."""
     s = image_size
     pr = pl.program_id(1)
     pc = pl.program_id(2)
-    rows = pr * TR + jax.lax.broadcasted_iota(jnp.int32, (1, TR, 1), 1)
-    colsn = pc * min(TC, s) + jax.lax.broadcasted_iota(jnp.int32, (1, 1, min(TC, s)), 2)
-    ys = (s - 1.0 - 2.0 * rows.astype(jnp.float32)) / s
-    xs = (2.0 * colsn.astype(jnp.float32) + 1.0 - s) / s
-    return xs, ys
+    if not lane_split:
+        rows = pr * TR + jax.lax.broadcasted_iota(jnp.int32, (1, TR, 1), 1)
+        tc = min(TC, s)
+        colsn = pc * tc + jax.lax.broadcasted_iota(jnp.int32, (1, 1, tc), 2)
+        ys = (s - 1.0 - 2.0 * rows.astype(jnp.float32)) / s
+        xs = (2.0 * colsn.astype(jnp.float32) + 1.0 - s) / s
+        return xs, ys, None
+    half_w = TC // 2
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, TR, 1), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, TC), 2)
+    half = lane // half_w
+    xl = lane - half * half_w
+    rows = pr * (2 * TR) + sub                      # row base (no half term)
+    colsn = pc * half_w + xl
+    ys = (s - 1.0 - 2.0 * rows.astype(jnp.float32)) / s        # (1, TR, 1)
+    yh = (-2.0 * TR) * half.astype(jnp.float32) / s            # (1, 1, TC)
+    xs = (2.0 * colsn.astype(jnp.float32) + 1.0 - s) / s       # (1, 1, TC)
+    return xs, ys, yh
 
 
 # ---------------------------------------------------------------------------
@@ -429,14 +516,18 @@ def _tile_pixel_coords(image_size):
 
 def _fwd_kernel(spans_ref, masks_ref, consts_ref, *out_refs, image_size,
                 n_chunks, sigma1, sigma2, gamma_d, gamma_t, near, far, bg_eps,
-                z_offset, tex_res=0):
+                z_offset, tex_res=0, lane_split=False):
     (a1_ref, a2_ref, depth_ref, texr_ref, texg_ref, texb_ref,
      matr_ref, matg_ref, matb_ref, md_ref, sd_ref, mt_ref, st_ref) = out_refs
 
     s_img = image_size
-    tc = min(TC, s_img)
-    xs, ys = _tile_pixel_coords(s_img)
+    tc = TC if lane_split else min(TC, s_img)
+    xs, ys, yh = _tile_pixel_coords(s_img, lane_split)
     x2, y2 = xs * xs, ys * ys
+    cross = None
+    if yh is not None:
+        x2 = x2 + yh * yh              # fold yh^2 into the lane part
+        cross = 2.0 * ys * yh          # per-tile full-rank y^2 cross term
 
     shp = (1, TR, tc)
     zeros = jnp.zeros(shp, jnp.float32)
@@ -445,7 +536,8 @@ def _fwd_kernel(spans_ref, masks_ref, consts_ref, *out_refs, image_size,
     bi = pl.program_id(0)
     # flattened (row-strip, column-tile) index into the 2-D spans/masks
     # (see compute_chunk_info: last-dim SMEM padding forces this layout)
-    tile = pl.program_id(1) * (s_img // tc) + pl.program_id(2)
+    n_tile_cols = s_img // (TC // 2) if lane_split else s_img // tc
+    tile = pl.program_id(1) * n_tile_cols + pl.program_id(2)
     n_words = -(-n_chunks // 32)
 
     def body(ci, carry):
@@ -457,7 +549,8 @@ def _fwd_kernel(spans_ref, masks_ref, consts_ref, *out_refs, image_size,
 
         def compute(carry):
             cv = consts_ref[0, pl.ds(ci * FF, FF), :]  # (FF, K)
-            g = _chunk_geometry(cv, xs, ys, x2, y2, sigma1, sigma2, near, far)
+            g = _chunk_geometry(cv, xs, ys, x2, y2, sigma1, sigma2, near, far,
+                                yh=yh, cross=cross)
             # second-level cull: the bbox test is conservative (the tile is
             # 128 px wide); skip aggregation when no face actually reaches
             # its coverage support in this tile
@@ -581,11 +674,15 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
                 ga1_ref, ga2_ref, gd_ref, gtr_ref, gtg_ref, gtb_ref,
                 grad_ref, *, image_size, n_chunks,
                 sigma1, sigma2, gamma_d, gamma_t, near, far, bg_eps, z_offset,
-                tex_res=0, mxu_reduce=False):
+                tex_res=0, mxu_reduce=False, lane_split=False):
     s_img = image_size
-    tc = min(TC, s_img)
-    xs, ys = _tile_pixel_coords(s_img)
+    tc = TC if lane_split else min(TC, s_img)
+    xs, ys, yh = _tile_pixel_coords(s_img, lane_split)
     x2, y2 = xs * xs, ys * ys
+    cross = None
+    if yh is not None:
+        x2 = x2 + yh * yh
+        cross = 2.0 * ys * yh
 
     first_tile = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
 
@@ -613,18 +710,32 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
     g_tb = ld(gtb_ref)
 
     bi = pl.program_id(0)
-    tile = pl.program_id(1) * (s_img // tc) + pl.program_id(2)
+    n_tile_cols = s_img // (TC // 2) if lane_split else s_img // tc
+    tile = pl.program_id(1) * n_tile_cols + pl.program_id(2)
     n_words = -(-n_chunks // 32)
 
     if mxu_reduce:
-        # [1, x] pixel-basis matrix for the batched-matmul reduction path,
-        # built ONCE outside the chunk loop (loop-invariant); column 1
-        # reproduces _tile_pixel_coords' xs exactly.
-        lane_i = jax.lax.broadcasted_iota(jnp.int32, (tc, 2), 0)
-        col_i = jax.lax.broadcasted_iota(jnp.int32, (tc, 2), 1)
-        xb = (2.0 * (pl.program_id(2) * tc + lane_i).astype(jnp.float32)
-              + 1.0 - s_img) / s_img
-        basis2 = jnp.where(col_i == 0, 1.0, xb)          # (tc, 2)
+        # [1, x(, yh)] pixel-basis matrix for the batched-matmul reduction
+        # path, built ONCE outside the chunk loop (loop-invariant); column 1
+        # reproduces _tile_pixel_coords' xs exactly. Under lane-split a
+        # third column carries the lane part of y, since the matmul folds
+        # the lanes away before the ys weighting.
+        n_basis = 3 if lane_split else 2
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (tc, n_basis), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (tc, n_basis), 1)
+        if lane_split:
+            half_w = TC // 2
+            half_i = lane_i // half_w
+            xb = (2.0 * (pl.program_id(2) * half_w
+                         + (lane_i - half_i * half_w)).astype(jnp.float32)
+                  + 1.0 - s_img) / s_img
+            yhb = (-2.0 * TR) * half_i.astype(jnp.float32) / s_img
+            basis2 = jnp.where(col_i == 0, 1.0,
+                               jnp.where(col_i == 1, xb, yhb))  # (tc, 3)
+        else:
+            xb = (2.0 * (pl.program_id(2) * tc + lane_i).astype(jnp.float32)
+                  + 1.0 - s_img) / s_img
+            basis2 = jnp.where(col_i == 0, 1.0, xb)      # (tc, 2)
 
     def body(ci, _):
         word = masks_ref[bi, tile * n_words + ci // 32]
@@ -632,7 +743,8 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
 
         def compute(_):
             cv = consts_ref[0, pl.ds(ci * FF, FF), :]
-            g = _chunk_geometry(cv, xs, ys, x2, y2, sigma1, sigma2, near, far)
+            g = _chunk_geometry(cv, xs, ys, x2, y2, sigma1, sigma2, near, far,
+                                yh=yh, cross=cross)
             return jax.lax.cond(jnp.any(g["contrib2"]),
                                 lambda _: backprop(g, cv), lambda _: 0, 0)
 
@@ -733,6 +845,10 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
                     # (FF, 1, TC) row-sum tails.
                     vr = jnp.sum(v, axis=1, keepdims=True)     # (FF, 1, TC)
                     vyr = jnp.sum(v * ys, axis=1, keepdims=True)
+                    if yh is not None:
+                        # lane part of y: sum v*y = sum v*ys + sum v*yh,
+                        # and the yh term only needs the row-sum tail
+                        vyr = vyr + vr * yh
                     reduced[sx] = jnp.sum(vr * xs, axis=2)     # (FF, 1)
                     reduced[sy] = jnp.sum(vyr, axis=2)
                     reduced[s1] = jnp.sum(vr, axis=2)
@@ -789,21 +905,25 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
                 fields = [v for v, *_ in basis_jobs] + [v for _, v in contribs]
                 vmat = jnp.concatenate(
                     [f.reshape(FF * TR, tc) for f in fields], axis=0)
+                nb_cols = basis2.shape[-1]
                 ysum = jax.lax.dot_general(
                     vmat, basis2, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)   # (n*FF*TR, 2)
+                    precision=jax.lax.Precision.HIGHEST)   # (n*FF*TR, nb)
                 n_b = len(basis_jobs)
                 for i, (_, sx, sy, s1) in enumerate(basis_jobs):
                     yi = ysum[i * FF * TR:(i + 1) * FF * TR].reshape(
-                        FF, TR, 2)
+                        FF, TR, nb_cols)
                     rs = yi[:, :, 0:1]                     # per-row sums
                     slot_vals[s1] = jnp.sum(rs, axis=1)
-                    slot_vals[sy] = jnp.sum(rs * ys, axis=1)
+                    sy_rows = rs * ys
+                    if lane_split:
+                        sy_rows = sy_rows + yi[:, :, 2:3]  # yh-weighted part
+                    slot_vals[sy] = jnp.sum(sy_rows, axis=1)
                     slot_vals[sx] = jnp.sum(yi[:, :, 1:2], axis=1)
                 for j, (slot, _) in enumerate(contribs):
                     yj = ysum[(n_b + j) * FF * TR:
-                              (n_b + j + 1) * FF * TR].reshape(FF, TR, 2)
+                              (n_b + j + 1) * FF * TR].reshape(FF, TR, nb_cols)
                     red = jnp.sum(yj[:, :, 0:1], axis=1)
                     slot_vals[slot] = slot_vals.get(slot, 0.0) + red
             else:
@@ -834,10 +954,16 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
 # pallas_call wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _grid_and_specs(b, f_pad, image_size, k_tot=K):
+def _grid_and_specs(b, f_pad, image_size, k_tot=K, lane_split=False):
     s = image_size
-    tc = min(TC, s)
-    grid = (b, s // TR, s // tc)
+    if lane_split:
+        # pixel arrays are pre-scrambled to (B, S/2, 2S); each (1, 8, 128)
+        # block is one full vreg covering a 16x64-pixel region
+        tc = TC
+        grid = (b, s // (2 * TR), s // (TC // 2))
+    else:
+        tc = min(TC, s)
+        grid = (b, s // TR, s // tc)
     consts_spec = pl.BlockSpec((1, f_pad, k_tot),
                                lambda bi, pr, pc, *_: (bi, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -852,29 +978,34 @@ def _grid_and_specs(b, f_pad, image_size, k_tot=K):
 def _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
               near, far, bg_eps, z_offset, interpret=False, tex_res=0):
     b, f_pad, k_tot = consts.shape
-    grid, consts_spec, pix_spec, tc = _grid_and_specs(b, f_pad, image_size,
-                                                      k_tot)
     s = image_size
+    lane_split = lane_split_for(s)
+    grid, consts_spec, pix_spec, tc = _grid_and_specs(b, f_pad, image_size,
+                                                      k_tot, lane_split)
     spans, masks = compute_chunk_info(consts, s,
-                                      math.sqrt(sigma2 * C.DIST_CUT))
+                                      math.sqrt(sigma2 * C.DIST_CUT),
+                                      lane_split)
     n_out = 13
     kernel = functools.partial(
         _fwd_kernel, image_size=s, n_chunks=f_pad // FF,
         sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d, gamma_t=gamma_t,
         near=near, far=far, bg_eps=bg_eps, z_offset=z_offset,
-        tex_res=tex_res)
+        tex_res=tex_res, lane_split=lane_split)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[consts_spec],
         out_specs=[pix_spec] * n_out,
     )
+    out_sh = (b, s // 2, 2 * s) if lane_split else (b, s, s)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((b, s, s), jnp.float32)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct(out_sh, jnp.float32)] * n_out,
         interpret=interpret,
     )(spans, masks, consts)
+    if lane_split:
+        outs = [_unscramble(o) for o in outs]
     names = ["alpha1", "alpha2", "depth", "texr", "texg", "texb",
              "matr", "matg", "matb", "m_d", "s_d", "m_t", "s_t"]
     return dict(zip(names, outs))
@@ -887,23 +1018,28 @@ def _bwd_call(consts, fwd_out, grads, image_size, sigma1, sigma2,
               gamma_d, gamma_t, near, far, bg_eps, z_offset, interpret=False,
               tex_res=0, mxu_reduce=False):
     b, f_pad, k_tot = consts.shape
+    lane_split = lane_split_for(image_size)
     grid, consts_spec, pix_spec, tc = _grid_and_specs(b, f_pad, image_size,
-                                                      k_tot)
+                                                      k_tot, lane_split)
     spans, masks = compute_chunk_info(consts, image_size,
-                                      math.sqrt(sigma2 * C.DIST_CUT))
+                                      math.sqrt(sigma2 * C.DIST_CUT),
+                                      lane_split)
     kernel = functools.partial(
         _bwd_kernel, image_size=image_size, n_chunks=f_pad // FF,
         sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d, gamma_t=gamma_t,
         near=near, far=far, bg_eps=bg_eps, z_offset=z_offset,
-        tex_res=tex_res, mxu_reduce=mxu_reduce)
+        tex_res=tex_res, mxu_reduce=mxu_reduce, lane_split=lane_split)
     grad_spec = pl.BlockSpec((1, f_pad, k_tot),
                              lambda bi, pr, pc, *_: (bi, 0, 0),
                              memory_space=pltpu.VMEM)
     residual_names = ["alpha1", "alpha2", "depth", "texr", "texg", "texb",
                       "m_d", "s_d", "m_t", "s_t"]
     grad_names = ["alpha1", "alpha2", "depth", "texr", "texg", "texb"]
-    inputs = [spans, masks, consts] + [fwd_out[n] for n in residual_names] + \
+    pix_in = [fwd_out[n] for n in residual_names] + \
         [grads[n] for n in grad_names]
+    if lane_split:
+        pix_in = [_scramble(p) for p in pix_in]
+    inputs = [spans, masks, consts] + pix_in
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,

@@ -183,6 +183,57 @@ def test_gradients_match_dense_with_sorting():
                                    err_msg=name)
 
 
+def test_lane_split_scramble_roundtrip():
+    """_scramble/_unscramble are exact inverses (the lane-split pixel
+    layout: (B,S,S) <-> (B,S/2,2S), lane = row_half*64 + col%64)."""
+    from selfcorr_tpu.ops.rasterizer import pallas_raster as P
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64)
+                    .astype(np.float32))
+    rt = P._unscramble(P._scramble(x))
+    np.testing.assert_array_equal(np.asarray(rt), np.asarray(x))
+    # spot-check the documented mapping at one scrambled position
+    z = np.asarray(P._scramble(x))
+    assert z[1, 3 * 8 + 5, 0 * 128 + 1 * 64 + 17] == \
+        np.asarray(x)[1, 3 * 16 + 1 * 8 + 5, 0 * 64 + 17]
+
+
+def test_lane_split_matches_dense_fwd_and_grads():
+    """At S=64 the lane-split geometry is active (lane_split_for); forward
+    and gradients must match the dense reference exactly like the classic
+    path does at S=16."""
+    from selfcorr_tpu.ops.rasterizer import pallas_raster as P
+
+    assert P.lane_split_for(64) and P.lane_split_for(256)
+    assert not P.lane_split_for(S)    # tests above exercise classic tiles
+
+    fv, st, ht = make_scene(seed=11, b=1, n_faces=6, size=0.9)
+    s64 = 64
+    dense = render_fused(fv, st, ht, s64, backend="dense")
+    pallas = render_fused(fv, st, ht, s64, backend="pallas", interpret=True)
+    for k, tol in [("alpha1", 2e-3), ("alpha2", 2e-3), ("depth", 2e-2),
+                   ("tex", 2e-3), ("match", 2e-3)]:
+        np.testing.assert_allclose(np.asarray(pallas[k]),
+                                   np.asarray(dense[k]), atol=tol,
+                                   err_msg=k)
+
+    def loss_fn(backend):
+        def f(fv_, st_):
+            out = render_fused(fv_, st_, ht, s64, backend=backend,
+                               interpret=True)
+            return _loss(out)
+        return f
+
+    g_dense = jax.grad(loss_fn("dense"), argnums=(0, 1))(fv, st)
+    g_pallas = jax.grad(loss_fn("pallas"), argnums=(0, 1))(fv, st)
+    for gd, gp, name in [(g_dense[0], g_pallas[0], "verts"),
+                         (g_dense[1], g_pallas[1], "soft_tex")]:
+        gd, gp = np.asarray(gd), np.asarray(gp)
+        scale = np.abs(gd).max() + 1e-8
+        np.testing.assert_allclose(gp / scale, gd / scale, atol=5e-3,
+                                   err_msg=name)
+
+
 def test_gradients_match_dense_mxu_reduce(monkeypatch):
     """The MXU_REDUCE backward arm (batched-matmul pixel reductions,
     pallas_raster.MXU_REDUCE) must produce the same gradients as the

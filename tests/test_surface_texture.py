@@ -68,6 +68,30 @@ def test_fused_surface_matches_dense():
                                    err_msg=k)
 
 
+def test_fused_surface_matches_dense_lane_split():
+    """Surface mode through the lane-split tile geometry (active at S=64,
+    pallas_raster.lane_split_for) — the texel fold select must survive the
+    scrambled pixel layout."""
+    from selfcorr_tpu.ops.rasterizer import render_fused
+    fv, st, ht, surf = _surface_scene(seed=5, b=1, n_faces=4)
+    dense = render_fused(fv, st, ht, 64, backend="dense", surf_tex=surf)
+    pallas = render_fused(fv, st, ht, 64, backend="pallas", interpret=True,
+                          surf_tex=surf)
+    for k in ("alpha1", "alpha2", "depth", "match"):
+        np.testing.assert_allclose(np.asarray(pallas[k]),
+                                   np.asarray(dense[k]),
+                                   atol=2e-2 if k == "depth" else 2e-3,
+                                   err_msg=k)
+    # the surface texel lookup is DISCONTINUOUS (cell + diagonal fold);
+    # the lane-split affine regrouping shifts fp rounding at pixels whose
+    # barycentrics land EXACTLY on a fold boundary, legitimately flipping
+    # texels (verified: every outlier here is at boundary distance 0 —
+    # same class the on-chip parity gate tolerates at <2%)
+    d = np.abs(np.asarray(pallas["tex"]) - np.asarray(dense["tex"]))
+    outliers = (d > 2e-3).mean()
+    assert outliers < 0.01, f"tex outlier rate {outliers:.4f}"
+
+
 def test_fused_surface_gradients_match_dense():
     import jax
     from selfcorr_tpu.ops.rasterizer import render_fused
