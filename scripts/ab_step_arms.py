@@ -10,7 +10,8 @@ and ONE transport session, with a closing re-measure of the baseline arm
 (A-B-A) so transport drift cannot masquerade as a code effect — the same
 discipline that settled the predict-FPS question (ab_predict_fps.py).
 
-Run solo on the TPU: python scripts/ab_step_arms.py
+Run solo on the TPU: python scripts/ab_step_arms.py [attn|bf16]
+(arm sets in ARM_SETS; default 'attn').
 """
 from __future__ import annotations
 
@@ -54,17 +55,38 @@ def time_step(cfg, tag, n_windows=3, n_iters=5):
     return best, loss
 
 
+# Named arm sets. 'attn' settled the round-3 flash question (PERF.md round
+# 4); 'bf16' retests the whole-trunk bf16 cast WITH the pad_once layout fix
+# — the round-3 rejections (configs.py dino_bf16 comment) blamed the
+# bf16<->f32 boundary/layout structure around the trunk, and pad_once is
+# precisely a boundary-structure fix that did not exist then. attn_bf16 arm
+# is a timing ceiling only (numerics flagged loose in configs.py).
+ARM_SETS = {
+    "attn": [
+        ("baseline(xla-attn)", {}),
+        ("flash", {"dino_flash": True}),
+        ("flash+pad_once", {"dino_flash": True, "dino_pad_once": True}),
+        ("baseline(recheck)", {}),
+    ],
+    "bf16": [
+        ("baseline(xla-attn)", {}),
+        ("bf16-trunk", {"dino_bf16": True}),
+        ("bf16+flash+pad_once", {"dino_bf16": True, "dino_flash": True,
+                                 "dino_pad_once": True}),
+        ("bf16+fl+po+attn_bf16", {"dino_bf16": True, "dino_flash": True,
+                                  "dino_pad_once": True,
+                                  "dino_attn_bf16": True}),
+        ("baseline(recheck)", {}),
+    ],
+}
+
+
 def main():
     from selfcorr_tpu.utils.jit_cache import enable
     enable()
     from bench import flagship_cfg
 
-    arms = [
-        ("baseline(xla-attn)", {}),
-        ("flash", {"dino_flash": True}),
-        ("flash+pad_once", {"dino_flash": True, "dino_pad_once": True}),
-        ("baseline(recheck)", {}),
-    ]
+    arms = ARM_SETS[sys.argv[1] if len(sys.argv) > 1 else "attn"]
     results = {}
     losses = {}
     for tag, kw in arms:

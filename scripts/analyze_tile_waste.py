@@ -98,6 +98,7 @@ def main():
         ("8x128 (current)", 8, 128),
         ("16x64 (lane-split)", 16, 64),
         ("32x32 (4-way split)", 32, 32),
+        ("64x16 (8-way split)", 64, 16),
         ("16x128 (taller)", 16, 128),
     ]
     for name, fv_fn in [("scattered", scattered_scene), ("ico", ico_scene)]:

@@ -58,6 +58,11 @@ def main():
                     help="comma list of retained checkpoint steps to eval "
                          "IN ADDITION to the final state — prints one JSON "
                          "line per step (metric trajectory)")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    metavar="KEY=VALUE",
+                    help="generic Config override (repeatable), coerced to "
+                         "the field's declared type — e.g. --set "
+                         "dino_bf16=1 --set dino_flash=1 for arm A/Bs")
     ap.add_argument("--warm_start_path", type=str, default="",
                     help="orbax ckpt dir of a previous run: init the "
                          "encoder (backbone+featnet+stats) from it — the "
@@ -115,6 +120,17 @@ def main():
     )
     for key in [k for k in args.ablate.split(",") if k]:
         cfg = cfg.replace(**{ABLATABLE[key]: 0.0})
+    if args.overrides:
+        import dataclasses
+        ftypes = {f.name: f.type for f in dataclasses.fields(cfg)}
+        for kv in args.overrides:
+            k, _, v = kv.partition("=")
+            t = ftypes[k]  # KeyError on typos, by design
+            cast = {("bool", bool): lambda s: s.lower() in ("1", "true"),
+                    ("int", int): int, ("float", float): float,
+                    ("str", str): str}
+            fn = next(f for key, f in cast.items() if t in key)
+            cfg = cfg.replace(**{k: fn(v)})
 
     if not args.eval_only:
         from selfcorr_tpu.train.loop import Trainer

@@ -70,7 +70,8 @@ def render_fused(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
         tex_res = int(round(surf_tex.shape[2] ** 0.5))
         assert tex_res * tex_res == surf_tex.shape[2], surf_tex.shape
     consts = PR.pack_constants(face_verts, soft_tex, hard_tex,
-                               surf_tex=surf_tex)
+                               surf_tex=surf_tex,
+                               n_bands=PR.bands_for(image_size))
     out = PR.raster_fused_core(
         consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
         C.NEAR, C.FAR, C.BG_EPS, C.EYE_OFFSET, interpret, tex_res)

@@ -92,18 +92,29 @@ _BIG = 1e9
 MXU_REDUCE = False
 # y-band quantization for the face sort: band-major, x-minor ordering keeps
 # each streamed chunk tight in BOTH axes, so the per-chunk bbox test can cull
-# against the column tile as well as the row strip. 64 bands over [-1, 1].
+# against the column tile as well as the row strip. 64 bands over [-1, 1]
+# for the classic 8x128 row strips; the lane-split 16x64 tiles want COARSER
+# bands (16) — with narrow tiles the cull is x-limited, and wider bands let
+# the x-minor term group each chunk x-tight instead of splitting it across
+# 4-px micro-bands (cost-model sweep in scripts/analyze_face_sort.py:
+# 16 bands = 0.79x ico / 0.71x scattered pair work at 256^2, measured
+# on-chip in PERF.md round 4).
 N_BANDS = 64
-BAND_H = 2.0 / N_BANDS
+N_BANDS_LANE_SPLIT = 16
 
 
-def _face_bands(ycen: jnp.ndarray) -> jnp.ndarray:
-    return jnp.floor((ycen + 1.0) / BAND_H)
+def bands_for(image_size: int) -> int:
+    return N_BANDS_LANE_SPLIT if lane_split_for(image_size) else N_BANDS
+
+
+def _face_bands(ycen: jnp.ndarray, n_bands: int = N_BANDS) -> jnp.ndarray:
+    return jnp.floor((ycen + 1.0) * (n_bands / 2.0))
 
 
 def pack_constants(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
                    hard_tex: jnp.ndarray, sort_faces: bool = True,
-                   surf_tex: jnp.ndarray | None = None) -> jnp.ndarray:
+                   surf_tex: jnp.ndarray | None = None,
+                   n_bands: int = N_BANDS) -> jnp.ndarray:
     """(B,F,3,3) verts + textures -> (B, F_padded, K) f32, differentiable.
 
     surf_tex (B,F,R^2,3), when given, appends per-face texel grids for the
@@ -129,7 +140,7 @@ def pack_constants(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
         # lexicographic (y-band, x) key: bands are integers, the x term stays
         # within [0, 0.25] so it never crosses a band boundary
         xn = jnp.clip((xcen + 1.0) * 0.5, 0.0, 1.0)
-        key = _face_bands(ycen) + 0.25 * xn
+        key = _face_bands(ycen, n_bands) + 0.25 * xn
         order = jnp.argsort(jax.lax.stop_gradient(key), axis=-1)  # (B, F)
         face_verts = jnp.take_along_axis(face_verts, order[..., None, None],
                                          axis=1)
