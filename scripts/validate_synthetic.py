@@ -129,7 +129,11 @@ def main():
             cast = {("bool", bool): lambda s: s.lower() in ("1", "true"),
                     ("int", int): int, ("float", float): float,
                     ("str", str): str}
-            fn = next(f for key, f in cast.items() if t in key)
+            fn = next((f for key, f in cast.items() if t in key), None)
+            if fn is None:
+                raise ValueError(
+                    f"--set {k}: field type {t!r} is not overridable here "
+                    "(only bool/int/float/str fields are)")
             cfg = cfg.replace(**{k: fn(v)})
 
     if not args.eval_only:

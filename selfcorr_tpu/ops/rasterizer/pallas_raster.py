@@ -194,8 +194,11 @@ def pack_constants(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
 # sort), so halving the tile width halves the dead lanes per live
 # (tile, chunk) pair; predicted 0.81x pair-work on the ico scene
 # (scripts/analyze_tile_waste.py), measured on-chip in PERF.md round 4.
-# Module flag (not a per-call arg) so A/B scripts can flip it; flips require
-# jax.clear_caches() — the jitted wrappers do not key on it.
+# Module flag is only the DEFAULT: the jitted _fwd_call/_bwd_call wrappers
+# take lane_split as a static argument (resolved by the un-jitted custom-vjp
+# layer via lane_split_for), so in-process flips retrace automatically
+# (ADVICE r4). Flipping it under an OUTER jit still needs that outer
+# function retraced, as with any global.
 LANE_SPLIT = True
 
 
@@ -985,12 +988,12 @@ def _grid_and_specs(b, f_pad, image_size, k_tot=K, lane_split=False):
 
 @functools.partial(jax.jit, static_argnames=(
     "image_size", "sigma1", "sigma2", "gamma_d", "gamma_t", "near", "far",
-    "bg_eps", "z_offset", "interpret", "tex_res"))
+    "bg_eps", "z_offset", "interpret", "tex_res", "lane_split"))
 def _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
-              near, far, bg_eps, z_offset, interpret=False, tex_res=0):
+              near, far, bg_eps, z_offset, interpret=False, tex_res=0,
+              lane_split=False):
     b, f_pad, k_tot = consts.shape
     s = image_size
-    lane_split = lane_split_for(s)
     grid, consts_spec, pix_spec, tc = _grid_and_specs(b, f_pad, image_size,
                                                       k_tot, lane_split)
     spans, masks = compute_chunk_info(consts, s,
@@ -1024,12 +1027,12 @@ def _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
 
 @functools.partial(jax.jit, static_argnames=(
     "image_size", "sigma1", "sigma2", "gamma_d", "gamma_t", "near", "far",
-    "bg_eps", "z_offset", "interpret", "tex_res", "mxu_reduce"))
+    "bg_eps", "z_offset", "interpret", "tex_res", "mxu_reduce",
+    "lane_split"))
 def _bwd_call(consts, fwd_out, grads, image_size, sigma1, sigma2,
               gamma_d, gamma_t, near, far, bg_eps, z_offset, interpret=False,
-              tex_res=0, mxu_reduce=False):
+              tex_res=0, mxu_reduce=False, lane_split=False):
     b, f_pad, k_tot = consts.shape
-    lane_split = lane_split_for(image_size)
     grid, consts_spec, pix_spec, tc = _grid_and_specs(b, f_pad, image_size,
                                                       k_tot, lane_split)
     spans, masks = compute_chunk_info(consts, image_size,
@@ -1070,7 +1073,8 @@ def _bwd_call(consts, fwd_out, grads, image_size, sigma1, sigma2,
 def raster_fused_core(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
                       near, far, bg_eps, z_offset, interpret, tex_res=0):
     out = _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
-                    near, far, bg_eps, z_offset, interpret, tex_res)
+                    near, far, bg_eps, z_offset, interpret, tex_res,
+                    lane_split=lane_split_for(image_size))
     return {k: out[k] for k in ("alpha1", "alpha2", "depth",
                                 "texr", "texg", "texb",
                                 "matr", "matg", "matb")}
@@ -1079,7 +1083,8 @@ def raster_fused_core(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
 def _core_fwd(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
               near, far, bg_eps, z_offset, interpret, tex_res=0):
     out = _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
-                    near, far, bg_eps, z_offset, interpret, tex_res)
+                    near, far, bg_eps, z_offset, interpret, tex_res,
+                    lane_split=lane_split_for(image_size))
     public = {k: out[k] for k in ("alpha1", "alpha2", "depth",
                                   "texr", "texg", "texb",
                                   "matr", "matg", "matb")}
@@ -1094,7 +1099,8 @@ def _core_bwd(image_size, sigma1, sigma2, gamma_d, gamma_t, near, far,
     grads = {k: jnp.asarray(v, jnp.float32) for k, v in grads.items()}
     dconsts = _bwd_call(consts, fwd_out, grads, image_size, sigma1, sigma2,
                         gamma_d, gamma_t, near, far, bg_eps, z_offset,
-                        interpret, tex_res, mxu_reduce=MXU_REDUCE)
+                        interpret, tex_res, mxu_reduce=MXU_REDUCE,
+                        lane_split=lane_split_for(image_size))
     return (dconsts,)
 
 

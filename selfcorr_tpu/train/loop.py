@@ -63,6 +63,7 @@ class Trainer:
         self.last_imgs_per_sec = None    # best steady-state loop interval
         self.median_imgs_per_sec = None  # median steady-state loop interval
         self._interval_ips = []
+        self._device_batches = False  # set for real in train()
         # multi-host: rank 0 owns TB/config/checkpoint writes (reference
         # trainer.py:153-206 rank-0 gating); every process still executes
         # the same device computations
@@ -100,9 +101,9 @@ class Trainer:
         """Host batch -> device (sharded over the mesh when present).
         device_put is asynchronous: issuing it right after dispatching the
         step overlaps the next batch's H2D transfer with the running step.
-        Device-generated batches (synthetic_on_device) pass through."""
-        if (isinstance(batch, dict) and batch
-                and isinstance(next(iter(batch.values())), jax.Array)):
+        Device-generated batches (synthetic_on_device) pass through,
+        gated by the explicit flag set in train() — not type-sniffing."""
+        if self._device_batches:
             return batch
         if self.mesh is not None:
             return shard_batch(self.mesh, batch)
@@ -120,6 +121,7 @@ class Trainer:
         use_dev_synth = (cfg.synthetic_on_device
                          and cfg.dataset_name == "synthetic"
                          and self.mesh is None and jax.process_count() == 1)
+        self._device_batches = use_dev_synth
         if use_dev_synth:
             # batches are generated ON the accelerator (zero per-step H2D
             # traffic, zero host loader work — data/synthetic_device.py);
@@ -222,7 +224,12 @@ class Trainer:
                           f"{cfg.host_rss_restart_gb:.0f} GB budget: "
                           "re-exec to reclaim leaked transfer buffers",
                           flush=True)
-                    os.execv(sys.executable, [sys.executable] + sys.argv)
+                    # sys.orig_argv is the TRUE original command line
+                    # (interpreter flags and `-m pkg` included) — plain
+                    # [sys.executable] + sys.argv mangles -m launches
+                    # (argv[0] becomes the module file path, losing the
+                    # package context)
+                    os.execv(sys.orig_argv[0], list(sys.orig_argv))
                 t0 = time.time()
                 overhead = 0.0
 
