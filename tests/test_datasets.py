@@ -62,6 +62,56 @@ def test_wild6d_train(tmp_path):
     loader.close()
 
 
+def test_wild6d_test_fixture(tmp_path):
+    """Wild6DTest against the generated on-disk fixture (VERDICT r4 item 6):
+    directory/list resolution, dframe_eval striding, pkl GT parsing
+    (rotation/translation/size passthrough — Wild6D GT has NO flip, unlike
+    NOCS's diag(1,-1,-1); reference dataset_wild6d_test.py:100-117 stores
+    the pkl values verbatim), metric depth survival through the uint16-mm
+    PNG roundtrip, and crop intrinsics."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.gen_wild6d_fixture import generate, _gt_pose
+    from selfcorr_tpu.data.synthetic import SyntheticVideos
+
+    root = str(tmp_path / "w6dfix")
+    generate(root, cat="laptop", n_train_videos=1, n_test_videos=2,
+             frames_per_video=2, test_frames=5, raw_size=96, seed=0)
+    test_root = os.path.join(root, "test_set", "laptop")
+    list_file = str(tmp_path / "test_list.txt")
+    from scripts.gen_lists import main as gen_lists_main
+    assert gen_lists_main(test_root, list_file) == 0
+
+    cfg = Config(dataset_name="Wild6D", test_dataset_path=test_root + "/",
+                 test_list=list_file, img_size=32, use_depth=True,
+                 eval=True, dframe_eval=2, train=False)
+    from selfcorr_tpu.data.wild6d import Wild6DTest
+    ds = Wild6DTest(cfg)
+    # striding: 5 frames at dframe_eval=2 -> frames 0, 2, 4 per video
+    assert ds.samples == [(0, 0), (0, 2), (0, 4), (1, 0), (1, 2), (1, 4)]
+
+    ref = SyntheticVideos(2, 5, raw_size=96, seed=0, shape="duo")
+    for idx in (1, 4):  # (vid 0, fid 2) and (vid 1, fid 0)
+        vid, fid = ds.samples[idx]
+        it = ds.load_item(idx)
+        assert it["img"].shape == (32, 32, 3)
+        assert it["idx"] == vid and it["frame_idx"] == fid
+        # GT passthrough: exact values written to the pkl
+        R, t, size = _gt_pose(ref, vid, fid)
+        np.testing.assert_allclose(it["rot_gt"], R, atol=1e-6)
+        np.testing.assert_allclose(it["trans_gt"], t, atol=1e-6)
+        np.testing.assert_allclose(it["scale_gt"], size, atol=1e-6)
+        # depth in mm through the uint16 PNG: crop pixels within 1 mm of
+        # the ray tracer's, intrinsics finite NDC
+        img, mask, depth, foc, pp = ref.render_frame(vid, fid)
+        assert it["depth"][it["mask"] > 0].min() > 1000  # z0 >= 4 m
+        assert np.isfinite(it["foc_crop"]).all()
+        assert np.abs(it["pp_crop"]).max() < 5
+        orig = ds.read_original(vid, fid)
+        assert np.abs(orig["depth"] - depth).max() <= 1.0
+        assert (orig["mask"] > 0.5).sum() == mask.sum()
+
+
 def make_nocs_tree(root, n_frames=3, hw=(48, 64)):
     h, w = hw
     rng = np.random.RandomState(1)
