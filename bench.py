@@ -105,7 +105,10 @@ def bench_trainer_loop(on_cpu: bool, on_device_data: bool = False):
     on_device_data=True additionally reports the synthetic_on_device path
     (batches generated on the accelerator, no loader/upload): its median
     ~= best because the loop never touches the leaky, hiccup-prone host
-    transport (PERF.md round 4: 110.4 median vs the host loader's 31-72)."""
+    transport (PERF.md round 4: 110.4 median vs the host loader's 31-72).
+    That arm runs with steps_per_dispatch=10 (one fused lax.scan program
+    per log interval), eliminating the per-step host dispatch round trip
+    on the tunneled backend (VERDICT r4 weak #1)."""
     from selfcorr_tpu.train.loop import Trainer
 
     run_dir = tempfile.mkdtemp(prefix="bench_trainer_")
@@ -114,7 +117,8 @@ def bench_trainer_loop(on_cpu: bool, on_device_data: bool = False):
         on_cpu, dataset_name="synthetic", total_iters=iters,
         batch_log_interval=10, checkpoint_dir=run_dir, name="bench",
         save_freq=10 ** 9, vis_freq=10 ** 9, num_workers=8,
-        synthetic_on_device=on_device_data)
+        synthetic_on_device=on_device_data,
+        steps_per_dispatch=10 if on_device_data else 1)
     if on_cpu:  # keep the CPU smoke test small
         cfg = cfg.replace(img_size=32, corr_h=8, corr_w=8, subdivide=1,
                           batch_size=2, repeat=2, pretrain_k=8,
@@ -124,10 +128,16 @@ def bench_trainer_loop(on_cpu: bool, on_device_data: bool = False):
     return trainer.last_imgs_per_sec, trainer.median_imgs_per_sec
 
 
-def bench_predict(on_cpu: bool) -> float:
+def bench_predict(on_cpu: bool):
     """Predict-path FPS: jitted forward_test + whole-batch RANSAC-Umeyama
     pose fit at the scripts/predict.sh config (batch 16, tester.py:166-185,
-    324-427)."""
+    324-427).
+
+    Variance-bounded (VERDICT r4 weak #6): iterations are CHAINED through a
+    data dependency (the previous fit perturbs the next rng key), so queued
+    dispatches cannot overlap and each window times real end-to-end latency;
+    returns {best, median, spread_pct} over the windows so a regression is
+    distinguishable from the tunneled transport's noise."""
     import functools
     from selfcorr_tpu.eval.pose_fit import fit_poses
     from selfcorr_tpu.models.meshnet import build_mesh_constants, forward_test
@@ -154,23 +164,28 @@ def bench_predict(on_cpu: bool) -> float:
                         n_iters=cfg.ransac_iters)
         return pred, fit
 
-    _, fit = predict(state.params, state.batch_stats, batch,
-                     jax.random.PRNGKey(1))  # compile
-    jax.block_until_ready(fit["bbox9"])
+    def chained(key):
+        _, fit = predict(state.params, state.batch_stats, batch, key)
+        # fold a value derived from THIS fit into the next key: a real
+        # data dependency, numerically a no-op (isfinite -> fold_in(_, 1))
+        salt = jnp.isfinite(fit["bbox9"][0, 0, 0]).astype(jnp.uint32)
+        return jax.random.fold_in(key, salt), fit
 
-    # best-of-windows, each closed by a scalar fetch (see bench_train_step)
-    n_windows, n_iters = (1, 3) if on_cpu else (3, 5)
-    best = 0.0
-    k = 2
+    key = jax.random.PRNGKey(1)
+    key, fit = chained(key)  # compile
+    float(fit["bbox9"][0, 0, 0])
+
+    n_windows, n_iters = (1, 3) if on_cpu else (4, 5)
+    fps = []
     for _ in range(n_windows):
         t0 = time.time()
-        for i in range(n_iters):
-            _, fit = predict(state.params, state.batch_stats, batch,
-                             jax.random.PRNGKey(k + i))
+        for _ in range(n_iters):
+            key, fit = chained(key)
         float(fit["bbox9"][0, 0, 0])
-        best = max(best, b / ((time.time() - t0) / n_iters))
-        k += n_iters
-    return best
+        fps.append(b / ((time.time() - t0) / n_iters))
+    return {"best": round(max(fps), 2),
+            "median": round(float(np.median(fps)), 2),
+            "spread_pct": round(100 * (max(fps) - min(fps)) / max(fps), 1)}
 
 
 # v5e per-chip peaks (public spec): 197 TFLOP/s bf16 MXU, 819 GB/s HBM.
@@ -368,7 +383,7 @@ def main():
                 None if dev_ips is None else round(dev_ips, 2)),
             "trainer_loop_devsynth_imgs_per_sec_median": (
                 None if dev_ips_med is None else round(dev_ips_med, 2)),
-            "predict_fps_batch16": round(predict_fps, 2),
+            "predict_fps_batch16": predict_fps,
             "baseline_imgs_per_sec_estimated": BASELINE_IMGS_PER_SEC,
             "baseline_estimated": True,
             "roofline": roofline,
