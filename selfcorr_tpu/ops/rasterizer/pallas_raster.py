@@ -201,6 +201,19 @@ def pack_constants(face_verts: jnp.ndarray, soft_tex: jnp.ndarray,
 # function retraced, as with any global.
 LANE_SPLIT = True
 
+# Per-tile face COMPACTION: instead of streaming fixed chunks of 16
+# consecutive (y-sorted) faces gated by a chunk-bbox cull, gather for each
+# tile ONLY its live faces (face bbox overlaps the pad-expanded tile box)
+# into dense groups of FF. The dense-chunk kernel pays for every face of a
+# chunk whose bbox merely touches the tile; compaction makes per-tile work
+# proportional to the tile's true live-face count. Predicted pair work on
+# the mesh-coherent ico scene: 0.65x the lane-split chunk kernel
+# (scripts/analyze_tile_waste.py + the compact extension; PERF.md round 5).
+# Same module-flag-is-only-a-default convention as LANE_SPLIT: the jitted
+# wrappers take `compact` as a static argument. Default OFF until the
+# on-chip parity gate + step-level A/B land (flipped in the perf commit).
+COMPACT = False
+
 
 def lane_split_for(image_size: int) -> bool:
     """The lane-split tile geometry applies whenever the image tiles evenly
@@ -208,6 +221,13 @@ def lane_split_for(image_size: int) -> bool:
     odd sizes keep the classic 8 x min(128, S) tiles."""
     return (LANE_SPLIT and image_size % (2 * TR) == 0
             and image_size % (TC // 2) == 0)
+
+
+def compact_for(image_size: int) -> bool:
+    """Face compaction is geometry-agnostic (the tile boxes come from the
+    same lane_split policy); gate only on the module default."""
+    del image_size
+    return COMPACT
 
 
 def _scramble(img: jnp.ndarray) -> jnp.ndarray:
@@ -304,6 +324,55 @@ def compute_chunk_info(consts: jnp.ndarray, image_size: int, pad: float,
     masks = jax.lax.bitcast_convert_type(words, jnp.int32)
     return (spans.reshape(b, n_rows * n_cols * 2),
             masks.reshape(b, n_rows * n_cols * w))
+
+
+def compute_tile_lists(consts: jnp.ndarray, image_size: int, pad: float,
+                       lane_split: bool = False):
+    """Per-(batch, tile) compacted live-face lists for the COMPACT kernels.
+
+    A face is live for a tile iff its packed bbox overlaps the tile's
+    pad-expanded box (the same exact test compute_chunk_info applies at
+    chunk granularity). Returns:
+      counts (B, T) int32 — live-face count per flattened tile (SMEM
+        scalar-prefetch operand; T = R*C tiles)
+      ids (B, T*NG, FF) int32 — per tile, the live face ids in ASCENDING
+        sorted-face order (preserves the dense kernel's z-tie-break), then
+        the dead ids as padding (NG = f_pad/FF group rows per tile; slots
+        past `counts` are masked inert in-kernel, and their gradient rows
+        are exact zeros, so the padding ids are harmless scatter targets).
+
+    Construction is one argsort of the key (live ? id : f_pad + id): live
+    faces come first in ascending id order. Padded faces carry bbox
+    [BIG, BIG, BIG, BIG] (pack_constants) and are never live.
+    """
+    s = image_size
+    if lane_split:
+        tr_px, tc_px = 2 * TR, TC // 2
+    else:
+        tr_px, tc_px = TR, min(TC, s)
+    b, f_pad, _ = consts.shape
+    bb = consts[..., S_BBOX:S_BBOX + 4]                     # (B, F, 4)
+    n_rows = s // tr_px
+    n_cols = s // tc_px
+    k = jnp.arange(n_rows, dtype=jnp.float32)
+    y_hi = (s - 1.0 - 2.0 * (k * tr_px)) / s + pad
+    y_lo = (s - 1.0 - 2.0 * (k * tr_px + tr_px - 1)) / s - pad
+    c = jnp.arange(n_cols, dtype=jnp.float32)
+    x_lo = (2.0 * (c * tc_px) + 1.0 - s) / s - pad
+    x_hi = (2.0 * ((c + 1.0) * tc_px - 1.0) + 1.0 - s) / s + pad
+
+    ov_y = ((bb[:, None, :, 2] <= y_hi[None, :, None])
+            & (bb[:, None, :, 3] >= y_lo[None, :, None]))   # (B, R, F)
+    ov_x = ((bb[:, None, :, 0] <= x_hi[None, :, None])
+            & (bb[:, None, :, 1] >= x_lo[None, :, None]))   # (B, C, F)
+    ov = ov_y[:, :, None, :] & ov_x[:, None, :, :]          # (B, R, C, F)
+
+    counts = jnp.sum(ov, axis=-1, dtype=jnp.int32).reshape(b, -1)
+    iota = jnp.arange(f_pad, dtype=jnp.int32)
+    key = jnp.where(ov, iota, f_pad + iota)
+    order = jnp.argsort(key, axis=-1).astype(jnp.int32)     # (B, R, C, F)
+    ids = order.reshape(b, n_rows * n_cols * (f_pad // FF), FF)
+    return counts, ids
 
 
 # ---------------------------------------------------------------------------
@@ -528,6 +597,124 @@ def _tile_pixel_coords(image_size, lane_split=False):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
+def _fwd_chunk_update(g, cv, carry, *, gamma_d, gamma_t, z_offset, tex_res):
+    """One face-chunk's contribution to the per-tile streaming carry.
+    Shared by the dense-chunk and compacted-group forward kernels (the
+    carry layout and aggregation math are identical; only how `cv` was
+    obtained differs)."""
+    (p1, p2_prod, m_d, s_d, acc_d, m_t, s_t, acc_tr, acc_tg, acc_tb,
+     zmin, hr, hg, hb) = carry
+    d1, d2 = g["D1"], g["D2"]
+    c0, c1, c2 = g["wc"]
+
+    p2_prod = p2_prod * _prod_faces(1.0 - d2)
+
+    contrib_t = g["contrib2"] & g["z_ok"]
+    zn_t = jnp.where(contrib_t, g["zn"], -jnp.inf)
+    if tex_res:
+        sels = _surface_texel_sel(c0, c1, tex_res)
+        col_r, col_g, col_b = _surface_color(cv, sels, tex_res)
+    else:
+        tex = _cols(cv, S_STEX, 9)
+        col_r = c0 * tex[0] + c1 * tex[3] + c2 * tex[6]
+        col_g = c0 * tex[1] + c1 * tex[4] + c2 * tex[7]
+        col_b = c0 * tex[2] + c1 * tex[5] + c2 * tex[8]
+    m_t, s_t, (acc_tr, acc_tg, acc_tb) = _softmax_update(
+        m_t, s_t, [acc_tr, acc_tg, acc_tb], zn_t, d2,
+        [col_r, col_g, col_b], gamma_t)
+
+    def depth_hard(sub):
+        # EXACT skip when no face reaches the sigma1 support in this
+        # tile (sigma1's cutoff radius is ~3.2x tighter than sigma2's):
+        # d1 == 0 there, so the coverage product, the depth softmax and
+        # the hard pass are all no-ops
+        (p1, m_d, s_d, acc_d, zmin, hr, hg, hb) = sub
+        p1 = p1 * _prod_faces(1.0 - d1)
+
+        contrib_d = g["contrib1"] & g["z_ok"]
+        zn_d = jnp.where(contrib_d, g["zn"], -jnp.inf)
+        z0, z1, z2 = _cols(cv, S_Z, 3)
+        val_d = (c0 * (z0 - z_offset) + c1 * (z1 - z_offset)
+                 + c2 * (z2 - z_offset))
+        m_d, s_d, (acc_d,) = _softmax_update(
+            m_d, s_d, [acc_d], zn_d, d1, [val_d], gamma_d)
+
+        # hard pass: nearest containing face
+        w0, w1, w2 = g["w"]
+        inside_ns = ((w0 >= 0) & (w0 <= 1) & (w1 >= 0) & (w1 <= 1)
+                     & (w2 >= 0) & (w2 <= 1))
+        hard_ok = inside_ns & g["contrib1"] & g["z_ok"]
+        zp_h = jnp.where(hard_ok, g["zp"], jnp.inf)
+        chunk_min = jnp.min(zp_h, axis=0, keepdims=True)
+        eq = (zp_h == chunk_min) & hard_ok
+        # first-true along the face axis (CUDA keeps the earliest
+        # face on z ties); unrolled — FF is small and static
+        seen = jnp.zeros_like(eq[0:1])
+        firsts = []
+        for i in range(FF):
+            e_i = eq[i:i + 1]
+            firsts.append(e_i & (~seen))
+            seen = seen | e_i
+        fm = jnp.concatenate(firsts, axis=0).astype(jnp.float32)
+        htex = _cols(cv, S_HTEX, 9)
+        hc_r = jnp.sum(
+            fm * (c0 * htex[0] + c1 * htex[3] + c2 * htex[6]),
+            axis=0, keepdims=True)
+        hc_g = jnp.sum(
+            fm * (c0 * htex[1] + c1 * htex[4] + c2 * htex[7]),
+            axis=0, keepdims=True)
+        hc_b = jnp.sum(
+            fm * (c0 * htex[2] + c1 * htex[5] + c2 * htex[8]),
+            axis=0, keepdims=True)
+        is_new = chunk_min < zmin
+        hr = jnp.where(is_new, hc_r, hr)
+        hg = jnp.where(is_new, hc_g, hg)
+        hb = jnp.where(is_new, hc_b, hb)
+        zmin = jnp.minimum(zmin, chunk_min)
+        return (p1, m_d, s_d, acc_d, zmin, hr, hg, hb)
+
+    sub = (p1, m_d, s_d, acc_d, zmin, hr, hg, hb)
+    (p1, m_d, s_d, acc_d, zmin, hr, hg, hb) = jax.lax.cond(
+        jnp.any(g["contrib1"]), depth_hard, lambda s: s, sub)
+
+    return (p1, p2_prod, m_d, s_d, acc_d, m_t, s_t,
+            acc_tr, acc_tg, acc_tb, zmin, hr, hg, hb)
+
+
+def _mask_invalid(g, valid):
+    """Force list-padding slots inert: a slot with valid=False contributes
+    exactly nothing to any aggregation (d1 = d2 = 0 kills the coverage
+    products and both softmax weights; the &-folds kill the mask selects
+    and the hard pass), and — because every gradient term in
+    _bwd_chunk_grads is proportional to d1, d2, or a weight built from
+    them — its backward slot rows are exact zeros too."""
+    vf = valid.astype(jnp.float32)
+    g = dict(g)
+    g["D1"] = g["D1"] * vf
+    g["D2"] = g["D2"] * vf
+    g["contrib1"] = g["contrib1"] & valid
+    g["contrib2"] = g["contrib2"] & valid
+    g["z_ok"] = g["z_ok"] & valid
+    return g
+
+
+def _gather_cv(ids_ref, consts_ref, grp):
+    """Gather one compacted group's 16 face-constant rows.
+
+    ids_ref: (1, NG, FF) int32 per-tile list block; grp: traced group index.
+    Loads the group's id row as a vector, extracts each lane to a scalar,
+    and issues FF dynamic single-row slices of the resident consts block.
+    (Scalar extraction from a VMEM-loaded vector and dynamic-start sublane
+    slices are both Mosaic-supported; verified on-chip before this landed.)
+    """
+    row = ids_ref[0, pl.ds(grp, 1), :]                     # (1, FF) int32
+    rows = []
+    for j in range(FF):
+        fid = row[0, j]
+        rows.append(consts_ref[0, pl.ds(fid, 1), :])
+    return jnp.concatenate(rows, axis=0), row              # (FF, K)
+
+
 def _fwd_kernel(spans_ref, masks_ref, consts_ref, *out_refs, image_size,
                 n_chunks, sigma1, sigma2, gamma_d, gamma_t, near, far, bg_eps,
                 z_offset, tex_res=0, lane_split=False):
@@ -568,88 +755,13 @@ def _fwd_kernel(spans_ref, masks_ref, consts_ref, *out_refs, image_size,
             # second-level cull: the bbox test is conservative (the tile is
             # 128 px wide); skip aggregation when no face actually reaches
             # its coverage support in this tile
-            return jax.lax.cond(jnp.any(g["contrib2"]),
-                                lambda c: aggregate(g, cv, c),
-                                lambda c: c, carry)
-
-        def aggregate(g, cv, carry):
-            (p1, p2_prod, m_d, s_d, acc_d, m_t, s_t, acc_tr, acc_tg, acc_tb,
-             zmin, hr, hg, hb) = carry
-            d1, d2 = g["D1"], g["D2"]
-            c0, c1, c2 = g["wc"]
-
-            p2_prod = p2_prod * _prod_faces(1.0 - d2)
-
-            contrib_t = g["contrib2"] & g["z_ok"]
-            zn_t = jnp.where(contrib_t, g["zn"], -jnp.inf)
-            if tex_res:
-                sels = _surface_texel_sel(c0, c1, tex_res)
-                col_r, col_g, col_b = _surface_color(cv, sels, tex_res)
-            else:
-                tex = _cols(cv, S_STEX, 9)
-                col_r = c0 * tex[0] + c1 * tex[3] + c2 * tex[6]
-                col_g = c0 * tex[1] + c1 * tex[4] + c2 * tex[7]
-                col_b = c0 * tex[2] + c1 * tex[5] + c2 * tex[8]
-            m_t, s_t, (acc_tr, acc_tg, acc_tb) = _softmax_update(
-                m_t, s_t, [acc_tr, acc_tg, acc_tb], zn_t, d2,
-                [col_r, col_g, col_b], gamma_t)
-
-            def depth_hard(sub):
-                # EXACT skip when no face reaches the sigma1 support in this
-                # tile (sigma1's cutoff radius is ~3.2x tighter than
-                # sigma2's): d1 == 0 there, so the coverage product, the
-                # depth softmax and the hard pass are all no-ops
-                (p1, m_d, s_d, acc_d, zmin, hr, hg, hb) = sub
-                p1 = p1 * _prod_faces(1.0 - d1)
-
-                contrib_d = g["contrib1"] & g["z_ok"]
-                zn_d = jnp.where(contrib_d, g["zn"], -jnp.inf)
-                z0, z1, z2 = _cols(cv, S_Z, 3)
-                val_d = (c0 * (z0 - z_offset) + c1 * (z1 - z_offset)
-                         + c2 * (z2 - z_offset))
-                m_d, s_d, (acc_d,) = _softmax_update(
-                    m_d, s_d, [acc_d], zn_d, d1, [val_d], gamma_d)
-
-                # hard pass: nearest containing face
-                w0, w1, w2 = g["w"]
-                inside_ns = ((w0 >= 0) & (w0 <= 1) & (w1 >= 0) & (w1 <= 1)
-                             & (w2 >= 0) & (w2 <= 1))
-                hard_ok = inside_ns & g["contrib1"] & g["z_ok"]
-                zp_h = jnp.where(hard_ok, g["zp"], jnp.inf)
-                chunk_min = jnp.min(zp_h, axis=0, keepdims=True)
-                eq = (zp_h == chunk_min) & hard_ok
-                # first-true along the face axis (CUDA keeps the earliest
-                # face on z ties); unrolled — FF is small and static
-                seen = jnp.zeros_like(eq[0:1])
-                firsts = []
-                for i in range(FF):
-                    e_i = eq[i:i + 1]
-                    firsts.append(e_i & (~seen))
-                    seen = seen | e_i
-                fm = jnp.concatenate(firsts, axis=0).astype(jnp.float32)
-                htex = _cols(cv, S_HTEX, 9)
-                hc_r = jnp.sum(
-                    fm * (c0 * htex[0] + c1 * htex[3] + c2 * htex[6]),
-                    axis=0, keepdims=True)
-                hc_g = jnp.sum(
-                    fm * (c0 * htex[1] + c1 * htex[4] + c2 * htex[7]),
-                    axis=0, keepdims=True)
-                hc_b = jnp.sum(
-                    fm * (c0 * htex[2] + c1 * htex[5] + c2 * htex[8]),
-                    axis=0, keepdims=True)
-                is_new = chunk_min < zmin
-                hr = jnp.where(is_new, hc_r, hr)
-                hg = jnp.where(is_new, hc_g, hg)
-                hb = jnp.where(is_new, hc_b, hb)
-                zmin = jnp.minimum(zmin, chunk_min)
-                return (p1, m_d, s_d, acc_d, zmin, hr, hg, hb)
-
-            sub = (p1, m_d, s_d, acc_d, zmin, hr, hg, hb)
-            (p1, m_d, s_d, acc_d, zmin, hr, hg, hb) = jax.lax.cond(
-                jnp.any(g["contrib1"]), depth_hard, lambda s: s, sub)
-
-            return (p1, p2_prod, m_d, s_d, acc_d, m_t, s_t,
-                    acc_tr, acc_tg, acc_tb, zmin, hr, hg, hb)
+            return jax.lax.cond(
+                jnp.any(g["contrib2"]),
+                lambda c: _fwd_chunk_update(g, cv, c, gamma_d=gamma_d,
+                                            gamma_t=gamma_t,
+                                            z_offset=z_offset,
+                                            tex_res=tex_res),
+                lambda c: c, carry)
 
         return jax.lax.cond(bit == 1, compute, lambda c: c, carry)
 
@@ -679,9 +791,316 @@ def _fwd_kernel(spans_ref, masks_ref, consts_ref, *out_refs, image_size,
     st_ref[0] = s_t[0]
 
 
+def _fwd_kernel_compact(counts_ref, consts_ref, ids_ref, *out_refs,
+                        image_size, sigma1, sigma2, gamma_d, gamma_t, near,
+                        far, bg_eps, z_offset, tex_res=0, lane_split=False):
+    """Compacted-group forward: loop over ceil(live/FF) gathered face groups
+    from this tile's compute_tile_lists row instead of the dense chunk span.
+    Aggregation math is _fwd_chunk_update, shared with the dense kernel;
+    group padding slots are made inert by _mask_invalid."""
+    s_img = image_size
+    tc = TC if lane_split else min(TC, s_img)
+    xs, ys, yh = _tile_pixel_coords(s_img, lane_split)
+    x2, y2 = xs * xs, ys * ys
+    cross = None
+    if yh is not None:
+        x2 = x2 + yh * yh
+        cross = 2.0 * ys * yh
+
+    shp = (1, TR, tc)
+    zeros = jnp.zeros(shp, jnp.float32)
+    ones = jnp.ones(shp, jnp.float32)
+
+    bi = pl.program_id(0)
+    n_tile_cols = s_img // (TC // 2) if lane_split else s_img // tc
+    tile = pl.program_id(1) * n_tile_cols + pl.program_id(2)
+
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (FF, 1, 1), 0)
+
+    def body(grp, carry):
+        cv, _ = _gather_cv(ids_ref, consts_ref, grp)
+        g = _chunk_geometry(cv, xs, ys, x2, y2, sigma1, sigma2, near, far,
+                            yh=yh, cross=cross)
+        valid = (grp * FF + sub_iota) < lt
+        g = _mask_invalid(g, valid)
+        # every gathered face overlaps the tile at bbox level, but the
+        # exact-support test can still come up empty — keep the cheap skip
+        return jax.lax.cond(
+            jnp.any(g["contrib2"]),
+            lambda c: _fwd_chunk_update(g, cv, c, gamma_d=gamma_d,
+                                        gamma_t=gamma_t, z_offset=z_offset,
+                                        tex_res=tex_res),
+            lambda c: c, carry)
+
+    init = (ones, ones,
+            jnp.full(shp, bg_eps), ones, ones,
+            jnp.full(shp, bg_eps), ones, ones, ones, ones,
+            jnp.full(shp, jnp.inf), zeros, zeros, zeros)
+    lt = counts_ref[bi, tile]
+    n_groups = (lt + FF - 1) // FF
+    (p1, p2_prod, m_d, s_d, acc_d, m_t, s_t, acc_tr, acc_tg, acc_tb,
+     zmin, hr, hg, hb) = jax.lax.fori_loop(0, n_groups, body, init)
+
+    (a1_ref, a2_ref, depth_ref, texr_ref, texg_ref, texb_ref,
+     matr_ref, matg_ref, matb_ref, md_ref, sd_ref, mt_ref, st_ref) = out_refs
+    a1_ref[0] = (1.0 - p1)[0]
+    a2_ref[0] = (1.0 - p2_prod)[0]
+    depth_ref[0] = (acc_d / s_d)[0]
+    texr_ref[0] = (acc_tr / s_t)[0]
+    texg_ref[0] = (acc_tg / s_t)[0]
+    texb_ref[0] = (acc_tb / s_t)[0]
+    matr_ref[0] = hr[0]
+    matg_ref[0] = hg[0]
+    matb_ref[0] = hb[0]
+    md_ref[0] = m_d[0]
+    sd_ref[0] = s_d[0]
+    mt_ref[0] = m_t[0]
+    st_ref[0] = s_t[0]
+
+
 # ---------------------------------------------------------------------------
 # Backward kernel
 # ---------------------------------------------------------------------------
+
+def _bwd_chunk_grads(g, cv, pix, *, sigma1, sigma2, gamma_d, gamma_t,
+                     near, far, z_offset, tex_res, mxu_reduce, basis2,
+                     xs, ys, yh, k_tot, lane_split, tc):
+    """One face-chunk's assembled (FF, k_tot) gradient block. Shared by the
+    dense-chunk kernel (accumulates at the chunk's static row range) and the
+    compacted-group kernel (scatters row-by-row through the gathered ids).
+    `pix` carries the per-tile pixel residual/cotangent arrays."""
+    d1, d2 = g["D1"], g["D2"]
+    c0, c1, c2 = g["wc"]
+    zp, zn = g["zp"], g["zn"]
+    m_d, s_d, m_t, s_t = pix["m_d"], pix["s_d"], pix["m_t"], pix["s_t"]
+
+    # --- coverage (alpha2) chain
+    dL_dD2 = pix["g_a2"] * pix["p2_tot"] / jnp.maximum(1.0 - d2, 1e-6)
+
+    # --- alpha1 + depth softmax chain, gated like the forward: with
+    # no contrib1 in the tile d1 == 0, so every term below is zero
+    # (the alpha1 coverage cotangent only reaches dis2 through
+    # d1*(1-d1) — fold that product in here so the skip is exact)
+    def depth_chain(_):
+        contrib_d = g["contrib1"] & g["z_ok"]
+        zn_d = jnp.where(contrib_d, zn, -jnp.inf)
+        u_d = jnp.exp((zn_d - m_d) / gamma_d) / s_d
+        z0, z1, z2 = _cols(cv, S_Z, 3)
+        val_d = (c0 * (z0 - z_offset) + c1 * (z1 - z_offset)
+                 + c2 * (z2 - z_offset))
+        r_d = val_d - pix["out_d"]
+        wgt_d = d1 * u_d
+        dL_dD1 = (pix["g_a1"] * pix["p1_tot"] / jnp.maximum(1.0 - d1, 1e-6)
+                  + pix["g_d"] * r_d * u_d)
+        ddis2_1 = dL_dD1 * g["sign"] * d1 * (1.0 - d1) / sigma1
+        dzn_1 = pix["g_d"] * r_d * wgt_d / gamma_d
+        return ddis2_1, dzn_1, pix["g_d"] * wgt_d
+
+    zf = jnp.zeros_like(d1)
+    ddis2_1, dzn_1, dL_dval = jax.lax.cond(
+        jnp.any(g["contrib1"]), depth_chain,
+        lambda _: (zf, zf, zf), 0)
+
+    # --- tex softmax chain
+    contrib_t = g["contrib2"] & g["z_ok"]
+    zn_t = jnp.where(contrib_t, zn, -jnp.inf)
+    u_t = jnp.exp((zn_t - m_t) / gamma_t) / s_t
+    if tex_res:
+        sels = _surface_texel_sel(c0, c1, tex_res)
+        col_r, col_g, col_b = _surface_color(cv, sels, tex_res)
+    else:
+        sels = None
+        tex = _cols(cv, S_STEX, 9)
+        col_r = c0 * tex[0] + c1 * tex[3] + c2 * tex[6]
+        col_g = c0 * tex[1] + c1 * tex[4] + c2 * tex[7]
+        col_b = c0 * tex[2] + c1 * tex[5] + c2 * tex[8]
+    gr_dot = (pix["g_tr"] * (col_r - pix["out_tr"])
+              + pix["g_tg"] * (col_g - pix["out_tg"])
+              + pix["g_tb"] * (col_b - pix["out_tb"]))
+    wgt_t = d2 * u_t
+    dL_dD2 = dL_dD2 + gr_dot * u_t
+    dL_dzn = dzn_1 + gr_dot * wgt_t / gamma_t
+    # texture color grads (per channel, per corner)
+    dL_dcol_r = pix["g_tr"] * wgt_t
+    dL_dcol_g = pix["g_tg"] * wgt_t
+    dL_dcol_b = pix["g_tb"] * wgt_t
+
+    # --- D -> dis2 (the D1 part was folded into ddis2_1 above)
+    dL_ddis2 = ddis2_1 + dL_dD2 * g["sign"] * d2 * (1.0 - d2) / sigma2
+
+    # --- zn -> zp -> inv_z
+    dL_dzp = -dL_dzn / (far - near)
+    zp2 = zp * zp
+    dL_diz0 = -dL_dzp * zp2 * c0
+    dL_diz1 = -dL_dzp * zp2 * c1
+    dL_diz2 = -dL_dzp * zp2 * c2
+
+    # --- dis2 -> per-edge coefficient grads. dis2 = min_e dseg2_e
+    # for ALL pixels (see _chunk_geometry: for inside pixels the
+    # minimizing edge's foot is on the segment, so line == segment
+    # there). On that edge t == s for inside pixels, so the clamped
+    # forms below ARE the line-case gradients where they apply:
+    # dd2/ds = -2 t e2, dd2/de2 = t^2 - 2ts (== -s^2 when t == s).
+    seg_cache = g["seg_cache"]
+    dseg2 = g["dseg2"]
+
+    contribs = []  # list of (slot, (FF,TR,tc) value) to accumulate
+    reduced = {}  # slot -> pre-reduced (FF, 1) column
+    basis_jobs = []  # MXU path: deferred (v, sx, sy, s1) jobs
+
+    if mxu_reduce:
+        def basis_reduce(v, sx, sy, s1):
+            basis_jobs.append((v, sx, sy, s1))
+    else:
+        def basis_reduce(v, sx, sy, s1):
+            # The affine-coefficient cotangents are v*{x, y, 1}
+            # summed over pixels; x is constant along sublanes and
+            # y along lanes, so ONE row-sum + ONE weighted row-sum
+            # of v serve all three:
+            #   sum v*x = sum_c x_c * (sum_r v),
+            #   sum v*y = sum_c (sum_r v*y).
+            # Axis choice matters on TPU: a sublane reduce (axis=1,
+            # TR=8 rows -> 3 shift-adds per vreg) is ~4x cheaper
+            # than a lane reduce (axis=2, TC=128 -> 7 shuffle
+            # steps), so BOTH full-rank reduces here run along
+            # sublanes and the lane reduces only ever see the
+            # (FF, 1, TC) row-sum tails.
+            vr = jnp.sum(v, axis=1, keepdims=True)     # (FF, 1, TC)
+            vyr = jnp.sum(v * ys, axis=1, keepdims=True)
+            if yh is not None:
+                # lane part of y: sum v*y = sum v*ys + sum v*yh,
+                # and the yh term only needs the row-sum tail
+                vyr = vyr + vr * yh
+            reduced[sx] = jnp.sum(vr * xs, axis=2)     # (FF, 1)
+            reduced[sy] = jnp.sum(vyr, axis=2)
+            reduced[s1] = jnp.sum(vr, axis=2)
+
+    chosen = None
+    for e in range(3):
+        s_e, t_e, e2_e, d2_e = seg_cache[e]
+        is_min = d2_e == dseg2
+        if chosen is None:
+            sel = is_min
+            chosen = is_min
+        else:
+            # logical blend: Mosaic lacks i1 select lowering
+            sel = is_min & (~chosen)
+            chosen = chosen | is_min
+        f_e = dL_ddis2 * sel
+        ds_raw = f_e * (-2.0 * t_e * e2_e)
+        basis_reduce(ds_raw, S_SEG + 3 * e + 0, S_SEG + 3 * e + 1,
+                     S_SEG + 3 * e + 2)
+        de2 = t_e * t_e - 2.0 * t_e * s_e
+        contribs.append((S_E2 + e, f_e * de2))
+        basis_reduce(f_e, S_PC + 3 * e + 0, S_PC + 3 * e + 1,
+                     S_PC + 3 * e + 2)
+
+    contribs.append((S_IZ + 0, dL_diz0))
+    contribs.append((S_IZ + 1, dL_diz1))
+    contribs.append((S_IZ + 2, dL_diz2))
+    contribs.append((S_Z + 0, dL_dval * c0))
+    contribs.append((S_Z + 1, dL_dval * c1))
+    contribs.append((S_Z + 2, dL_dval * c2))
+    if tex_res:
+        for t, sel in enumerate(sels):
+            contribs.append((S_SURF + 3 * t + 0, dL_dcol_r * sel))
+            contribs.append((S_SURF + 3 * t + 1, dL_dcol_g * sel))
+            contribs.append((S_SURF + 3 * t + 2, dL_dcol_b * sel))
+    else:
+        for ch, dc in [(0, dL_dcol_r), (1, dL_dcol_g),
+                       (2, dL_dcol_b)]:
+            contribs.append((S_STEX + 0 + ch, dc * c0))
+            contribs.append((S_STEX + 3 + ch, dc * c1))
+            contribs.append((S_STEX + 6 + ch, dc * c2))
+
+    # reduce over pixels and assemble the (FF, K) slot matrix in one
+    # shot (static layout -> a single concatenated write, no
+    # per-slot lane scatters)
+    slot_vals = dict(reduced)
+    if mxu_reduce:
+        # ONE matmul streams every gradient field's rows through
+        # the MXU against the [1, x] basis: column 0 gives per-row
+        # (lane) sums, column 1 the x-weighted sums. All remaining
+        # work is tiny (FF, TR, 2) tails — the VPU never runs a
+        # lane reduce. (FF,TR,tc) -> (FF*TR,tc) merges leading dims
+        # into sublanes (layout-free); row slices stay 128-aligned.
+        fields = [v for v, *_ in basis_jobs] + [v for _, v in contribs]
+        vmat = jnp.concatenate(
+            [f.reshape(FF * TR, tc) for f in fields], axis=0)
+        nb_cols = basis2.shape[-1]
+        ysum = jax.lax.dot_general(
+            vmat, basis2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)   # (n*FF*TR, nb)
+        n_b = len(basis_jobs)
+        for i, (_, sx, sy, s1) in enumerate(basis_jobs):
+            yi = ysum[i * FF * TR:(i + 1) * FF * TR].reshape(
+                FF, TR, nb_cols)
+            rs = yi[:, :, 0:1]                     # per-row sums
+            slot_vals[s1] = jnp.sum(rs, axis=1)
+            sy_rows = rs * ys
+            if lane_split:
+                sy_rows = sy_rows + yi[:, :, 2:3]  # yh-weighted part
+            slot_vals[sy] = jnp.sum(sy_rows, axis=1)
+            slot_vals[sx] = jnp.sum(yi[:, :, 1:2], axis=1)
+        for j, (slot, _) in enumerate(contribs):
+            yj = ysum[(n_b + j) * FF * TR:
+                      (n_b + j + 1) * FF * TR].reshape(FF, TR, nb_cols)
+            red = jnp.sum(yj[:, :, 0:1], axis=1)
+            slot_vals[slot] = slot_vals.get(slot, 0.0) + red
+    else:
+        for slot, vals in contribs:
+            # two-step reduce -> (FF, 1); a fused axis=(1,2)
+            # keepdims reduce trips Mosaic layout inference.
+            # SUBLANES FIRST: the full-rank step is then the cheap
+            # 8-row reduce and the expensive 128-lane reduce only
+            # sees the (FF, 1, TC) tail.
+            red = jnp.sum(jnp.sum(vals, axis=1, keepdims=True),
+                          axis=2)
+            slot_vals[slot] = slot_vals.get(slot, 0.0) + red
+    zero_col = jnp.zeros((FF, 1), jnp.float32)
+    return jnp.concatenate(
+        [slot_vals.get(j, zero_col) for j in range(k_tot)], axis=1)
+
+
+def _bwd_pix(tc, refs):
+    """Unpack the 13 residual + 6 cotangent pixel refs into the dict
+    _bwd_chunk_grads consumes, reshaped to (1, TR, tc)."""
+    (a1_ref, a2_ref, depth_ref, texr_ref, texg_ref, texb_ref,
+     md_ref, sd_ref, mt_ref, st_ref,
+     ga1_ref, ga2_ref, gd_ref, gtr_ref, gtg_ref, gtb_ref) = refs
+    ld = lambda ref: ref[0].reshape(1, TR, tc)
+    return dict(
+        p1_tot=1.0 - ld(a1_ref), p2_tot=1.0 - ld(a2_ref),
+        out_d=ld(depth_ref), out_tr=ld(texr_ref), out_tg=ld(texg_ref),
+        out_tb=ld(texb_ref), m_d=ld(md_ref), s_d=ld(sd_ref),
+        m_t=ld(mt_ref), s_t=ld(st_ref), g_a1=ld(ga1_ref), g_a2=ld(ga2_ref),
+        g_d=ld(gd_ref), g_tr=ld(gtr_ref), g_tg=ld(gtg_ref),
+        g_tb=ld(gtb_ref))
+
+
+def _mxu_basis(tc, lane_split, s_img):
+    """[1, x(, yh)] pixel-basis matrix for the batched-matmul reduction
+    path, built ONCE outside the chunk loop (loop-invariant); column 1
+    reproduces _tile_pixel_coords' xs exactly. Under lane-split a
+    third column carries the lane part of y, since the matmul folds
+    the lanes away before the ys weighting."""
+    n_basis = 3 if lane_split else 2
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (tc, n_basis), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (tc, n_basis), 1)
+    if lane_split:
+        half_w = TC // 2
+        half_i = lane_i // half_w
+        xb = (2.0 * (pl.program_id(2) * half_w
+                     + (lane_i - half_i * half_w)).astype(jnp.float32)
+              + 1.0 - s_img) / s_img
+        yhb = (-2.0 * TR) * half_i.astype(jnp.float32) / s_img
+        return jnp.where(col_i == 0, 1.0,
+                         jnp.where(col_i == 1, xb, yhb))  # (tc, 3)
+    xb = (2.0 * (pl.program_id(2) * tc + lane_i).astype(jnp.float32)
+          + 1.0 - s_img) / s_img
+    return jnp.where(col_i == 0, 1.0, xb)      # (tc, 2)
+
 
 def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
                 texr_ref, texg_ref, texb_ref, md_ref, sd_ref, mt_ref, st_ref,
@@ -704,52 +1123,16 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
     def _():
         grad_ref[...] = jnp.zeros(grad_ref.shape, jnp.float32)
 
-    # per-pixel residuals / grads, shaped (1, TR, tc)
-    ld = lambda ref: ref[0].reshape(1, TR, tc)
-    p1_tot = 1.0 - ld(a1_ref)
-    p2_tot = 1.0 - ld(a2_ref)
-    out_d = ld(depth_ref)
-    out_tr = ld(texr_ref)
-    out_tg = ld(texg_ref)
-    out_tb = ld(texb_ref)
-    m_d = ld(md_ref)
-    s_d = ld(sd_ref)
-    m_t = ld(mt_ref)
-    s_t = ld(st_ref)
-    g_a1 = ld(ga1_ref)
-    g_a2 = ld(ga2_ref)
-    g_d = ld(gd_ref)
-    g_tr = ld(gtr_ref)
-    g_tg = ld(gtg_ref)
-    g_tb = ld(gtb_ref)
+    pix = _bwd_pix(tc, (a1_ref, a2_ref, depth_ref, texr_ref, texg_ref,
+                        texb_ref, md_ref, sd_ref, mt_ref, st_ref,
+                        ga1_ref, ga2_ref, gd_ref, gtr_ref, gtg_ref, gtb_ref))
 
     bi = pl.program_id(0)
     n_tile_cols = s_img // (TC // 2) if lane_split else s_img // tc
     tile = pl.program_id(1) * n_tile_cols + pl.program_id(2)
     n_words = -(-n_chunks // 32)
-
-    if mxu_reduce:
-        # [1, x(, yh)] pixel-basis matrix for the batched-matmul reduction
-        # path, built ONCE outside the chunk loop (loop-invariant); column 1
-        # reproduces _tile_pixel_coords' xs exactly. Under lane-split a
-        # third column carries the lane part of y, since the matmul folds
-        # the lanes away before the ys weighting.
-        n_basis = 3 if lane_split else 2
-        lane_i = jax.lax.broadcasted_iota(jnp.int32, (tc, n_basis), 0)
-        col_i = jax.lax.broadcasted_iota(jnp.int32, (tc, n_basis), 1)
-        if lane_split:
-            half_w = TC // 2
-            half_i = lane_i // half_w
-            xb = (2.0 * (pl.program_id(2) * half_w
-                         + (lane_i - half_i * half_w)).astype(jnp.float32)
-                  + 1.0 - s_img) / s_img
-            yhb = (-2.0 * TR) * half_i.astype(jnp.float32) / s_img
-            basis2 = jnp.where(col_i == 0, 1.0,
-                               jnp.where(col_i == 1, xb, yhb))  # (tc, 3)
-        else:
-            xb = (2.0 * (pl.program_id(2) * tc + lane_i).astype(jnp.float32)
-                  + 1.0 - s_img) / s_img
-            basis2 = jnp.where(col_i == 0, 1.0, xb)      # (tc, 2)
+    basis2 = _mxu_basis(tc, lane_split, s_img) if mxu_reduce else None
+    k_tot = grad_ref.shape[-1]
 
     def body(ci, _):
         word = masks_ref[bi, tile * n_words + ci // 32]
@@ -763,197 +1146,12 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
                                 lambda _: backprop(g, cv), lambda _: 0, 0)
 
         def backprop(g, cv):
-            d1, d2 = g["D1"], g["D2"]
-            c0, c1, c2 = g["wc"]
-            zp, zn = g["zp"], g["zn"]
-
-            # --- coverage (alpha2) chain
-            dL_dD2 = g_a2 * p2_tot / jnp.maximum(1.0 - d2, 1e-6)
-
-            # --- alpha1 + depth softmax chain, gated like the forward: with
-            # no contrib1 in the tile d1 == 0, so every term below is zero
-            # (the alpha1 coverage cotangent only reaches dis2 through
-            # d1*(1-d1) — fold that product in here so the skip is exact)
-            def depth_chain(_):
-                contrib_d = g["contrib1"] & g["z_ok"]
-                zn_d = jnp.where(contrib_d, zn, -jnp.inf)
-                u_d = jnp.exp((zn_d - m_d) / gamma_d) / s_d
-                z0, z1, z2 = _cols(cv, S_Z, 3)
-                val_d = (c0 * (z0 - z_offset) + c1 * (z1 - z_offset)
-                         + c2 * (z2 - z_offset))
-                r_d = val_d - out_d
-                wgt_d = d1 * u_d
-                dL_dD1 = (g_a1 * p1_tot / jnp.maximum(1.0 - d1, 1e-6)
-                          + g_d * r_d * u_d)
-                ddis2_1 = dL_dD1 * g["sign"] * d1 * (1.0 - d1) / sigma1
-                dzn_1 = g_d * r_d * wgt_d / gamma_d
-                return ddis2_1, dzn_1, g_d * wgt_d
-
-            zf = jnp.zeros_like(d1)
-            ddis2_1, dzn_1, dL_dval = jax.lax.cond(
-                jnp.any(g["contrib1"]), depth_chain,
-                lambda _: (zf, zf, zf), 0)
-
-            # --- tex softmax chain
-            contrib_t = g["contrib2"] & g["z_ok"]
-            zn_t = jnp.where(contrib_t, zn, -jnp.inf)
-            u_t = jnp.exp((zn_t - m_t) / gamma_t) / s_t
-            if tex_res:
-                sels = _surface_texel_sel(c0, c1, tex_res)
-                col_r, col_g, col_b = _surface_color(cv, sels, tex_res)
-            else:
-                sels = None
-                tex = _cols(cv, S_STEX, 9)
-                col_r = c0 * tex[0] + c1 * tex[3] + c2 * tex[6]
-                col_g = c0 * tex[1] + c1 * tex[4] + c2 * tex[7]
-                col_b = c0 * tex[2] + c1 * tex[5] + c2 * tex[8]
-            gr_dot = (g_tr * (col_r - out_tr) + g_tg * (col_g - out_tg)
-                      + g_tb * (col_b - out_tb))
-            wgt_t = d2 * u_t
-            dL_dD2 = dL_dD2 + gr_dot * u_t
-            dL_dzn = dzn_1 + gr_dot * wgt_t / gamma_t
-            # texture color grads (per channel, per corner)
-            dL_dcol_r = g_tr * wgt_t
-            dL_dcol_g = g_tg * wgt_t
-            dL_dcol_b = g_tb * wgt_t
-
-            # --- D -> dis2 (the D1 part was folded into ddis2_1 above)
-            dL_ddis2 = ddis2_1 + dL_dD2 * g["sign"] * d2 * (1.0 - d2) / sigma2
-
-            # --- zn -> zp -> inv_z
-            dL_dzp = -dL_dzn / (far - near)
-            zp2 = zp * zp
-            dL_diz0 = -dL_dzp * zp2 * c0
-            dL_diz1 = -dL_dzp * zp2 * c1
-            dL_diz2 = -dL_dzp * zp2 * c2
-
-            # --- dis2 -> per-edge coefficient grads. dis2 = min_e dseg2_e
-            # for ALL pixels (see _chunk_geometry: for inside pixels the
-            # minimizing edge's foot is on the segment, so line == segment
-            # there). On that edge t == s for inside pixels, so the clamped
-            # forms below ARE the line-case gradients where they apply:
-            # dd2/ds = -2 t e2, dd2/de2 = t^2 - 2ts (== -s^2 when t == s).
-            seg_cache = g["seg_cache"]
-            dseg2 = g["dseg2"]
-
-            contribs = []  # list of (slot, (FF,TR,tc) value) to accumulate
-            reduced = {}  # slot -> pre-reduced (FF, 1) column
-            basis_jobs = []  # MXU path: deferred (v, sx, sy, s1) jobs
-
-            if mxu_reduce:
-                def basis_reduce(v, sx, sy, s1):
-                    basis_jobs.append((v, sx, sy, s1))
-            else:
-                def basis_reduce(v, sx, sy, s1):
-                    # The affine-coefficient cotangents are v*{x, y, 1}
-                    # summed over pixels; x is constant along sublanes and
-                    # y along lanes, so ONE row-sum + ONE weighted row-sum
-                    # of v serve all three:
-                    #   sum v*x = sum_c x_c * (sum_r v),
-                    #   sum v*y = sum_c (sum_r v*y).
-                    # Axis choice matters on TPU: a sublane reduce (axis=1,
-                    # TR=8 rows -> 3 shift-adds per vreg) is ~4x cheaper
-                    # than a lane reduce (axis=2, TC=128 -> 7 shuffle
-                    # steps), so BOTH full-rank reduces here run along
-                    # sublanes and the lane reduces only ever see the
-                    # (FF, 1, TC) row-sum tails.
-                    vr = jnp.sum(v, axis=1, keepdims=True)     # (FF, 1, TC)
-                    vyr = jnp.sum(v * ys, axis=1, keepdims=True)
-                    if yh is not None:
-                        # lane part of y: sum v*y = sum v*ys + sum v*yh,
-                        # and the yh term only needs the row-sum tail
-                        vyr = vyr + vr * yh
-                    reduced[sx] = jnp.sum(vr * xs, axis=2)     # (FF, 1)
-                    reduced[sy] = jnp.sum(vyr, axis=2)
-                    reduced[s1] = jnp.sum(vr, axis=2)
-
-            chosen = None
-            for e in range(3):
-                s_e, t_e, e2_e, d2_e = seg_cache[e]
-                is_min = d2_e == dseg2
-                if chosen is None:
-                    sel = is_min
-                    chosen = is_min
-                else:
-                    # logical blend: Mosaic lacks i1 select lowering
-                    sel = is_min & (~chosen)
-                    chosen = chosen | is_min
-                f_e = dL_ddis2 * sel
-                ds_raw = f_e * (-2.0 * t_e * e2_e)
-                basis_reduce(ds_raw, S_SEG + 3 * e + 0, S_SEG + 3 * e + 1,
-                             S_SEG + 3 * e + 2)
-                de2 = t_e * t_e - 2.0 * t_e * s_e
-                contribs.append((S_E2 + e, f_e * de2))
-                basis_reduce(f_e, S_PC + 3 * e + 0, S_PC + 3 * e + 1,
-                             S_PC + 3 * e + 2)
-
-            contribs.append((S_IZ + 0, dL_diz0))
-            contribs.append((S_IZ + 1, dL_diz1))
-            contribs.append((S_IZ + 2, dL_diz2))
-            contribs.append((S_Z + 0, dL_dval * c0))
-            contribs.append((S_Z + 1, dL_dval * c1))
-            contribs.append((S_Z + 2, dL_dval * c2))
-            if tex_res:
-                for t, sel in enumerate(sels):
-                    contribs.append((S_SURF + 3 * t + 0, dL_dcol_r * sel))
-                    contribs.append((S_SURF + 3 * t + 1, dL_dcol_g * sel))
-                    contribs.append((S_SURF + 3 * t + 2, dL_dcol_b * sel))
-            else:
-                for ch, dc in [(0, dL_dcol_r), (1, dL_dcol_g),
-                               (2, dL_dcol_b)]:
-                    contribs.append((S_STEX + 0 + ch, dc * c0))
-                    contribs.append((S_STEX + 3 + ch, dc * c1))
-                    contribs.append((S_STEX + 6 + ch, dc * c2))
-
-            # reduce over pixels, assemble the (FF, K) slot matrix in one
-            # shot (static layout -> a single concatenated write, no
-            # per-slot lane scatters), and accumulate into the grad block
-            slot_vals = dict(reduced)
-            if mxu_reduce:
-                # ONE matmul streams every gradient field's rows through
-                # the MXU against the [1, x] basis: column 0 gives per-row
-                # (lane) sums, column 1 the x-weighted sums. All remaining
-                # work is tiny (FF, TR, 2) tails — the VPU never runs a
-                # lane reduce. (FF,TR,tc) -> (FF*TR,tc) merges leading dims
-                # into sublanes (layout-free); row slices stay 128-aligned.
-                fields = [v for v, *_ in basis_jobs] + [v for _, v in contribs]
-                vmat = jnp.concatenate(
-                    [f.reshape(FF * TR, tc) for f in fields], axis=0)
-                nb_cols = basis2.shape[-1]
-                ysum = jax.lax.dot_general(
-                    vmat, basis2, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)   # (n*FF*TR, nb)
-                n_b = len(basis_jobs)
-                for i, (_, sx, sy, s1) in enumerate(basis_jobs):
-                    yi = ysum[i * FF * TR:(i + 1) * FF * TR].reshape(
-                        FF, TR, nb_cols)
-                    rs = yi[:, :, 0:1]                     # per-row sums
-                    slot_vals[s1] = jnp.sum(rs, axis=1)
-                    sy_rows = rs * ys
-                    if lane_split:
-                        sy_rows = sy_rows + yi[:, :, 2:3]  # yh-weighted part
-                    slot_vals[sy] = jnp.sum(sy_rows, axis=1)
-                    slot_vals[sx] = jnp.sum(yi[:, :, 1:2], axis=1)
-                for j, (slot, _) in enumerate(contribs):
-                    yj = ysum[(n_b + j) * FF * TR:
-                              (n_b + j + 1) * FF * TR].reshape(FF, TR, nb_cols)
-                    red = jnp.sum(yj[:, :, 0:1], axis=1)
-                    slot_vals[slot] = slot_vals.get(slot, 0.0) + red
-            else:
-                for slot, vals in contribs:
-                    # two-step reduce -> (FF, 1); a fused axis=(1,2)
-                    # keepdims reduce trips Mosaic layout inference.
-                    # SUBLANES FIRST: the full-rank step is then the cheap
-                    # 8-row reduce and the expensive 128-lane reduce only
-                    # sees the (FF, 1, TC) tail.
-                    red = jnp.sum(jnp.sum(vals, axis=1, keepdims=True),
-                                  axis=2)
-                    slot_vals[slot] = slot_vals.get(slot, 0.0) + red
-            zero_col = jnp.zeros((FF, 1), jnp.float32)
-            k_tot = grad_ref.shape[-1]
-            assembled = jnp.concatenate(
-                [slot_vals.get(j, zero_col) for j in range(k_tot)], axis=1)
+            assembled = _bwd_chunk_grads(
+                g, cv, pix, sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d,
+                gamma_t=gamma_t, near=near, far=far, z_offset=z_offset,
+                tex_res=tex_res, mxu_reduce=mxu_reduce, basis2=basis2,
+                xs=xs, ys=ys, yh=yh, k_tot=k_tot, lane_split=lane_split,
+                tc=tc)
             grad_ref[0, pl.ds(ci * FF, FF), :] += assembled
             return 0
 
@@ -962,6 +1160,73 @@ def _bwd_kernel(spans_ref, masks_ref, consts_ref, a1_ref, a2_ref, depth_ref,
     c_start = spans_ref[bi, tile * 2]
     c_end = spans_ref[bi, tile * 2 + 1]
     jax.lax.fori_loop(c_start, c_end, body, 0)
+
+
+def _bwd_kernel_compact(counts_ref, consts_ref, ids_ref, a1_ref, a2_ref,
+                        depth_ref, texr_ref, texg_ref, texb_ref, md_ref,
+                        sd_ref, mt_ref, st_ref, ga1_ref, ga2_ref, gd_ref,
+                        gtr_ref, gtg_ref, gtb_ref, grad_ref, *, image_size,
+                        sigma1, sigma2, gamma_d, gamma_t, near, far, bg_eps,
+                        z_offset, tex_res=0, mxu_reduce=False,
+                        lane_split=False):
+    """Compacted-group backward: the per-group gradient block from
+    _bwd_chunk_grads is scattered row-by-row through the gathered face ids
+    (read-modify-write of dynamically indexed single rows — deterministic:
+    the grid walks tiles in a fixed order and list-padding rows are exact
+    zeros, see _mask_invalid)."""
+    s_img = image_size
+    tc = TC if lane_split else min(TC, s_img)
+    xs, ys, yh = _tile_pixel_coords(s_img, lane_split)
+    x2, y2 = xs * xs, ys * ys
+    cross = None
+    if yh is not None:
+        x2 = x2 + yh * yh
+        cross = 2.0 * ys * yh
+
+    first_tile = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+    @pl.when(first_tile)
+    def _():
+        grad_ref[...] = jnp.zeros(grad_ref.shape, jnp.float32)
+
+    pix = _bwd_pix(tc, (a1_ref, a2_ref, depth_ref, texr_ref, texg_ref,
+                        texb_ref, md_ref, sd_ref, mt_ref, st_ref,
+                        ga1_ref, ga2_ref, gd_ref, gtr_ref, gtg_ref, gtb_ref))
+
+    bi = pl.program_id(0)
+    n_tile_cols = s_img // (TC // 2) if lane_split else s_img // tc
+    tile = pl.program_id(1) * n_tile_cols + pl.program_id(2)
+    basis2 = _mxu_basis(tc, lane_split, s_img) if mxu_reduce else None
+    k_tot = grad_ref.shape[-1]
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (FF, 1, 1), 0)
+    lt = counts_ref[bi, tile]
+    n_groups = (lt + FF - 1) // FF
+
+    def body(grp, _):
+        cv, id_row = _gather_cv(ids_ref, consts_ref, grp)
+        g = _chunk_geometry(cv, xs, ys, x2, y2, sigma1, sigma2, near, far,
+                            yh=yh, cross=cross)
+        valid = (grp * FF + sub_iota) < lt
+        g = _mask_invalid(g, valid)
+
+        def backprop(_):
+            assembled = _bwd_chunk_grads(
+                g, cv, pix, sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d,
+                gamma_t=gamma_t, near=near, far=far, z_offset=z_offset,
+                tex_res=tex_res, mxu_reduce=mxu_reduce, basis2=basis2,
+                xs=xs, ys=ys, yh=yh, k_tot=k_tot, lane_split=lane_split,
+                tc=tc)
+            # belt-and-braces: padding rows are analytically zero already
+            assembled = assembled * valid[:, :, 0].astype(jnp.float32)
+            for j in range(FF):
+                fid = id_row[0, j]
+                grad_ref[0, pl.ds(fid, 1), :] += assembled[j:j + 1, :]
+            return 0
+
+        return jax.lax.cond(jnp.any(g["contrib2"]), backprop,
+                            lambda _: 0, 0)
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -986,38 +1251,63 @@ def _grid_and_specs(b, f_pad, image_size, k_tot=K, lane_split=False):
     return grid, consts_spec, pix_spec, tc
 
 
+def _ids_spec(grid, f_pad):
+    """BlockSpec for the compact kernels' per-tile id lists: one (1, NG, FF)
+    block per (batch, tile) out of the (B, T*NG, FF) array."""
+    ng = f_pad // FF
+    n_cols = grid[2]
+    return pl.BlockSpec((1, ng, FF),
+                        lambda bi, pr, pc, *_: (bi, pr * n_cols + pc, 0),
+                        memory_space=pltpu.VMEM)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "image_size", "sigma1", "sigma2", "gamma_d", "gamma_t", "near", "far",
-    "bg_eps", "z_offset", "interpret", "tex_res", "lane_split"))
+    "bg_eps", "z_offset", "interpret", "tex_res", "lane_split", "compact"))
 def _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
               near, far, bg_eps, z_offset, interpret=False, tex_res=0,
-              lane_split=False):
+              lane_split=False, compact=False):
     b, f_pad, k_tot = consts.shape
     s = image_size
     grid, consts_spec, pix_spec, tc = _grid_and_specs(b, f_pad, image_size,
                                                       k_tot, lane_split)
-    spans, masks = compute_chunk_info(consts, s,
-                                      math.sqrt(sigma2 * C.DIST_CUT),
-                                      lane_split)
     n_out = 13
-    kernel = functools.partial(
-        _fwd_kernel, image_size=s, n_chunks=f_pad // FF,
-        sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d, gamma_t=gamma_t,
-        near=near, far=far, bg_eps=bg_eps, z_offset=z_offset,
-        tex_res=tex_res, lane_split=lane_split)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=[consts_spec],
-        out_specs=[pix_spec] * n_out,
-    )
+    pad = math.sqrt(sigma2 * C.DIST_CUT)
+    if compact:
+        counts, ids = compute_tile_lists(consts, s, pad, lane_split)
+        kernel = functools.partial(
+            _fwd_kernel_compact, image_size=s,
+            sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d, gamma_t=gamma_t,
+            near=near, far=far, bg_eps=bg_eps, z_offset=z_offset,
+            tex_res=tex_res, lane_split=lane_split)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[consts_spec, _ids_spec(grid, f_pad)],
+            out_specs=[pix_spec] * n_out,
+        )
+        args = (counts, consts, ids)
+    else:
+        spans, masks = compute_chunk_info(consts, s, pad, lane_split)
+        kernel = functools.partial(
+            _fwd_kernel, image_size=s, n_chunks=f_pad // FF,
+            sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d, gamma_t=gamma_t,
+            near=near, far=far, bg_eps=bg_eps, z_offset=z_offset,
+            tex_res=tex_res, lane_split=lane_split)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[consts_spec],
+            out_specs=[pix_spec] * n_out,
+        )
+        args = (spans, masks, consts)
     out_sh = (b, s // 2, 2 * s) if lane_split else (b, s, s)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(out_sh, jnp.float32)] * n_out,
         interpret=interpret,
-    )(spans, masks, consts)
+    )(*args)
     if lane_split:
         outs = [_unscramble(o) for o in outs]
     names = ["alpha1", "alpha2", "depth", "texr", "texg", "texb",
@@ -1028,21 +1318,14 @@ def _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
 @functools.partial(jax.jit, static_argnames=(
     "image_size", "sigma1", "sigma2", "gamma_d", "gamma_t", "near", "far",
     "bg_eps", "z_offset", "interpret", "tex_res", "mxu_reduce",
-    "lane_split"))
+    "lane_split", "compact"))
 def _bwd_call(consts, fwd_out, grads, image_size, sigma1, sigma2,
               gamma_d, gamma_t, near, far, bg_eps, z_offset, interpret=False,
-              tex_res=0, mxu_reduce=False, lane_split=False):
+              tex_res=0, mxu_reduce=False, lane_split=False, compact=False):
     b, f_pad, k_tot = consts.shape
     grid, consts_spec, pix_spec, tc = _grid_and_specs(b, f_pad, image_size,
                                                       k_tot, lane_split)
-    spans, masks = compute_chunk_info(consts, image_size,
-                                      math.sqrt(sigma2 * C.DIST_CUT),
-                                      lane_split)
-    kernel = functools.partial(
-        _bwd_kernel, image_size=image_size, n_chunks=f_pad // FF,
-        sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d, gamma_t=gamma_t,
-        near=near, far=far, bg_eps=bg_eps, z_offset=z_offset,
-        tex_res=tex_res, mxu_reduce=mxu_reduce, lane_split=lane_split)
+    pad = math.sqrt(sigma2 * C.DIST_CUT)
     grad_spec = pl.BlockSpec((1, f_pad, k_tot),
                              lambda bi, pr, pc, *_: (bi, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -1053,13 +1336,34 @@ def _bwd_call(consts, fwd_out, grads, image_size, sigma1, sigma2,
         [grads[n] for n in grad_names]
     if lane_split:
         pix_in = [_scramble(p) for p in pix_in]
-    inputs = [spans, masks, consts] + pix_in
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=[consts_spec] + [pix_spec] * 16,
-        out_specs=grad_spec,
-    )
+    if compact:
+        counts, ids = compute_tile_lists(consts, image_size, pad, lane_split)
+        kernel = functools.partial(
+            _bwd_kernel_compact, image_size=image_size,
+            sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d, gamma_t=gamma_t,
+            near=near, far=far, bg_eps=bg_eps, z_offset=z_offset,
+            tex_res=tex_res, mxu_reduce=mxu_reduce, lane_split=lane_split)
+        inputs = [counts, consts, ids] + pix_in
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[consts_spec, _ids_spec(grid, f_pad)] + [pix_spec] * 16,
+            out_specs=grad_spec,
+        )
+    else:
+        spans, masks = compute_chunk_info(consts, image_size, pad, lane_split)
+        kernel = functools.partial(
+            _bwd_kernel, image_size=image_size, n_chunks=f_pad // FF,
+            sigma1=sigma1, sigma2=sigma2, gamma_d=gamma_d, gamma_t=gamma_t,
+            near=near, far=far, bg_eps=bg_eps, z_offset=z_offset,
+            tex_res=tex_res, mxu_reduce=mxu_reduce, lane_split=lane_split)
+        inputs = [spans, masks, consts] + pix_in
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[consts_spec] + [pix_spec] * 16,
+            out_specs=grad_spec,
+        )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1074,7 +1378,8 @@ def raster_fused_core(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
                       near, far, bg_eps, z_offset, interpret, tex_res=0):
     out = _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
                     near, far, bg_eps, z_offset, interpret, tex_res,
-                    lane_split=lane_split_for(image_size))
+                    lane_split=lane_split_for(image_size),
+                    compact=compact_for(image_size))
     return {k: out[k] for k in ("alpha1", "alpha2", "depth",
                                 "texr", "texg", "texb",
                                 "matr", "matg", "matb")}
@@ -1084,7 +1389,8 @@ def _core_fwd(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
               near, far, bg_eps, z_offset, interpret, tex_res=0):
     out = _fwd_call(consts, image_size, sigma1, sigma2, gamma_d, gamma_t,
                     near, far, bg_eps, z_offset, interpret, tex_res,
-                    lane_split=lane_split_for(image_size))
+                    lane_split=lane_split_for(image_size),
+                    compact=compact_for(image_size))
     public = {k: out[k] for k in ("alpha1", "alpha2", "depth",
                                   "texr", "texg", "texb",
                                   "matr", "matg", "matb")}
@@ -1100,7 +1406,8 @@ def _core_bwd(image_size, sigma1, sigma2, gamma_d, gamma_t, near, far,
     dconsts = _bwd_call(consts, fwd_out, grads, image_size, sigma1, sigma2,
                         gamma_d, gamma_t, near, far, bg_eps, z_offset,
                         interpret, tex_res, mxu_reduce=MXU_REDUCE,
-                        lane_split=lane_split_for(image_size))
+                        lane_split=lane_split_for(image_size),
+                        compact=compact_for(image_size))
     return (dconsts,)
 
 

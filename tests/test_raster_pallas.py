@@ -234,6 +234,78 @@ def test_lane_split_matches_dense_fwd_and_grads():
                                    err_msg=name)
 
 
+@pytest.mark.parametrize("s_img", [S, 64])
+def test_compact_matches_chunked(monkeypatch, s_img):
+    """The compacted per-tile face-list kernels (pallas_raster.COMPACT,
+    compute_tile_lists + gathered groups) must reproduce the dense-chunk
+    kernels' outputs and gradients on both tile geometries (classic at
+    S=16, lane-split at S=64) — this pins BOTH arms explicitly regardless
+    of the module default; n_faces=21 also exercises list construction
+    with padded faces and partially-valid groups."""
+    from selfcorr_tpu.ops.rasterizer import pallas_raster as P
+
+    fv, st, ht = make_scene(seed=7, b=2, n_faces=21, size=0.9)
+
+    def run(compact):
+        monkeypatch.setattr(P, "COMPACT", compact)
+
+        def f(fv_, st_):
+            out = render_fused(fv_, st_, ht, s_img, backend="pallas",
+                               interpret=True)
+            return _loss(out)
+
+        out = render_fused(fv, st, ht, s_img, backend="pallas",
+                           interpret=True)
+        g = jax.grad(f, argnums=(0, 1))(fv, st)
+        return out, g
+
+    out_c, g_c = run(True)
+    out_d, g_d = run(False)
+    for k in ("alpha1", "alpha2", "depth", "tex", "match"):
+        np.testing.assert_allclose(np.asarray(out_c[k]), np.asarray(out_d[k]),
+                                   atol=1e-5, err_msg=k)
+    for gc, gd, name in [(g_c[0], g_d[0], "verts"),
+                         (g_c[1], g_d[1], "soft_tex")]:
+        gc, gd = np.asarray(gc), np.asarray(gd)
+        scale = np.abs(gd).max() + 1e-8
+        # same ascending face order; only the group boundaries (and thus
+        # float accumulation grouping) differ
+        np.testing.assert_allclose(gc / scale, gd / scale, atol=1e-5,
+                                   err_msg=name)
+
+
+def test_compact_tile_lists_exact():
+    """compute_tile_lists vs a brute-force bbox overlap: counts match, the
+    first `count` ids are exactly the live faces in ascending order."""
+    import math as _math
+    from selfcorr_tpu.ops.rasterizer import pallas_raster as P
+
+    fv, st, ht = make_scene(seed=5, b=2, n_faces=21, size=0.9)
+    consts = P.pack_constants(fv, st, ht)
+    pad = _math.sqrt(1e-3 * C.DIST_CUT)
+    counts, ids = P.compute_tile_lists(consts, S, pad, lane_split=False)
+    counts, ids = np.asarray(counts), np.asarray(ids)
+    b, f_pad, _ = consts.shape
+    bb = np.asarray(consts[..., P.S_BBOX:P.S_BBOX + 4])
+    tr_px, tc_px = P.TR, min(P.TC, S)
+    n_rows, n_cols = S // tr_px, S // tc_px
+    ng = f_pad // P.FF
+    ids = ids.reshape(b, n_rows * n_cols, f_pad)
+    for bi in range(b):
+        for r in range(n_rows):
+            for c in range(n_cols):
+                y_hi = (S - 1.0 - 2.0 * (r * tr_px)) / S + pad
+                y_lo = (S - 1.0 - 2.0 * (r * tr_px + tr_px - 1)) / S - pad
+                x_lo = (2.0 * (c * tc_px) + 1.0 - S) / S - pad
+                x_hi = (2.0 * ((c + 1.0) * tc_px - 1.0) + 1.0 - S) / S + pad
+                live = [f for f in range(f_pad)
+                        if bb[bi, f, 2] <= y_hi and bb[bi, f, 3] >= y_lo
+                        and bb[bi, f, 0] <= x_hi and bb[bi, f, 1] >= x_lo]
+                t = r * n_cols + c
+                assert counts[bi, t] == len(live), (bi, r, c)
+                assert list(ids[bi, t, :len(live)]) == live, (bi, r, c)
+
+
 def test_gradients_match_dense_mxu_reduce(monkeypatch):
     """The MXU_REDUCE backward arm (batched-matmul pixel reductions,
     pallas_raster.MXU_REDUCE) must produce the same gradients as the
