@@ -10,6 +10,7 @@ closes that class. Run after every kernel change and once per round:
 
     python scripts/parity_gate.py            # real chip (axon)
     python scripts/parity_gate.py --cpu      # interpret-mode smoke
+    python scripts/parity_gate.py --compact  # per-tile face-list kernels
 
 Scenes: (a) centered cluster (the common object-crop case), (b) scattered
 faces across the full frame with varied sizes (exercises chunk culling /
@@ -77,6 +78,10 @@ def main():
     import jax
     import jax.numpy as jnp
     from selfcorr_tpu.ops.rasterizer import render_fused
+
+    if "--compact" in sys.argv:  # gate the per-tile face-list kernels
+        from selfcorr_tpu.ops.rasterizer import pallas_raster as P
+        P.COMPACT = True
 
     interpret = jax.default_backend() == "cpu"
     S = 128
