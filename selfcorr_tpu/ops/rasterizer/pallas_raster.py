@@ -337,9 +337,14 @@ def compute_tile_lists(consts: jnp.ndarray, image_size: int, pad: float,
         scalar-prefetch operand; T = R*C tiles)
       ids (B, T*NG, FF) int32 — per tile, the live face ids in ASCENDING
         sorted-face order (preserves the dense kernel's z-tie-break), then
-        the dead ids as padding (NG = f_pad/FF group rows per tile; slots
-        past `counts` are masked inert in-kernel, and their gradient rows
-        are exact zeros, so the padding ids are harmless scatter targets).
+        the dead ids as padding (NG = f_pad/FF group rows per tile, rounded
+        up to a multiple of 8: Mosaic requires the (1, NG, FF) VMEM block's
+        sublane dim divisible by 8 — caught by the round-5 on-chip parity
+        gate at gate shapes where f_pad/FF = 4. Slots past `counts` are
+        masked inert in-kernel, and their gradient rows are exact zeros, so
+        the padding ids — zeros for the rounding rows, which the group loop
+        never even visits (ceil(count/FF) <= f_pad/FF) — are harmless
+        scatter targets).
 
     Construction is one argsort of the key (live ? id : f_pad + id): live
     faces come first in ascending id order. Padded faces carry bbox
@@ -371,7 +376,11 @@ def compute_tile_lists(consts: jnp.ndarray, image_size: int, pad: float,
     iota = jnp.arange(f_pad, dtype=jnp.int32)
     key = jnp.where(ov, iota, f_pad + iota)
     order = jnp.argsort(key, axis=-1).astype(jnp.int32)     # (B, R, C, F)
-    ids = order.reshape(b, n_rows * n_cols * (f_pad // FF), FF)
+    ng, ngp = f_pad // FF, _ng_pad(f_pad)
+    order = order.reshape(b, n_rows * n_cols, ng, FF)
+    if ngp != ng:
+        order = jnp.pad(order, ((0, 0), (0, 0), (0, ngp - ng), (0, 0)))
+    ids = order.reshape(b, n_rows * n_cols * ngp, FF)
     return counts, ids
 
 
@@ -1251,12 +1260,18 @@ def _grid_and_specs(b, f_pad, image_size, k_tot=K, lane_split=False):
     return grid, consts_spec, pix_spec, tc
 
 
+def _ng_pad(f_pad: int) -> int:
+    """Group rows per tile in the compacted id lists: f_pad/FF rounded up to
+    a multiple of 8, the Mosaic sublane quantum for the (1, NG, FF) VMEM
+    block (see compute_tile_lists)."""
+    return -(-(f_pad // FF) // 8) * 8
+
+
 def _ids_spec(grid, f_pad):
     """BlockSpec for the compact kernels' per-tile id lists: one (1, NG, FF)
     block per (batch, tile) out of the (B, T*NG, FF) array."""
-    ng = f_pad // FF
     n_cols = grid[2]
-    return pl.BlockSpec((1, ng, FF),
+    return pl.BlockSpec((1, _ng_pad(f_pad), FF),
                         lambda bi, pr, pc, *_: (bi, pr * n_cols + pc, 0),
                         memory_space=pltpu.VMEM)
 

@@ -289,8 +289,8 @@ def test_compact_tile_lists_exact():
     bb = np.asarray(consts[..., P.S_BBOX:P.S_BBOX + 4])
     tr_px, tc_px = P.TR, min(P.TC, S)
     n_rows, n_cols = S // tr_px, S // tc_px
-    ng = f_pad // P.FF
-    ids = ids.reshape(b, n_rows * n_cols, f_pad)
+    ids = ids.reshape(b, n_rows * n_cols, -1)   # per-tile row is
+    # _ng_pad(f_pad)*FF >= f_pad ids (sublane-rounded group rows)
     for bi in range(b):
         for r in range(n_rows):
             for c in range(n_cols):
