@@ -210,9 +210,12 @@ LANE_SPLIT = True
 # the mesh-coherent ico scene: 0.65x the lane-split chunk kernel
 # (scripts/analyze_tile_waste.py + the compact extension; PERF.md round 5).
 # Same module-flag-is-only-a-default convention as LANE_SPLIT: the jitted
-# wrappers take `compact` as a static argument. Default OFF until the
-# on-chip parity gate + step-level A/B land (flipped in the perf commit).
-COMPACT = False
+# wrappers take `compact` as a static argument. Default ON: the on-chip
+# parity gate is green on all three scenes and the full-step A-B-A measured
+# 147.6 / 143.8 / 147.6 imgs/s (on/off/on, +2.6% end-to-end); at kernel
+# level it also repairs the lane-split scattered-soup regression
+# (fwd+bwd 139.4 -> 94.6 ms; PERF.md round 5).
+COMPACT = True
 
 
 def lane_split_for(image_size: int) -> bool:
