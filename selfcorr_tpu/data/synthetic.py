@@ -45,7 +45,13 @@ class SyntheticVideos:
     good for silhouette/IoU validation). shape='duo': a big + small ellipsoid
     union offset along +x (rotationally UNAMBIGUOUS — exercises the deg/cm
     buckets; pair with the duo prior mesh so the learned canonical frame is
-    identifiable, see `duo_prior_mesh`)."""
+    identifiable, see `duo_prior_mesh`). shape='mix': even videos are duo,
+    odd videos plain ellipsoids — a multi-family stream for encoder
+    PRETRAINING diversity (VERDICT r4 item 5). Implemented as a constant
+    two-part union where the odd videos' second lobe is COINCIDENT with the
+    first (the union of an ellipsoid with itself), so every consumer — host
+    ray tracer, canonical_box, and the jitted device-synth tables, which
+    need a static part count — keeps n_parts=2 with no branching."""
 
     def __init__(self, num_videos: int = 4, frames_per_video: int = 24,
                  raw_size: int = 320, seed: int = 0,
@@ -63,6 +69,10 @@ class SyntheticVideos:
         # proportions so all videos share one category-canonical layout)
         self.radii2 = self.radii * 0.5
         self.off = self.radii[:, 0] * 1.1
+        if shape == "mix":
+            odd = np.arange(num_videos) % 2 == 1
+            self.radii2[odd] = self.radii[odd]
+            self.off[odd] = 0.0
 
     def parts(self, vid: int):
         """[(radii, center_obj)] of the union in the object frame."""

@@ -227,3 +227,25 @@ def test_synthetic_ellipsoid_unchanged():
     np.testing.assert_allclose(cb0, 0.0, atol=1e-12)
     np.testing.assert_allclose(size, 2 * vids.radii[0])
     assert mask.any()
+
+
+def test_synthetic_mix_family():
+    """shape='mix' (VERDICT r4 item 5: multi-family pretrain stream): even
+    videos render EXACTLY like the duo family, odd videos exactly like the
+    plain ellipsoid — the odd videos' second lobe is coincident with the
+    first, so n_parts stays 2 for the device-synth tables."""
+    from selfcorr_tpu.data.synthetic import SyntheticVideos
+    kw = dict(num_videos=4, frames_per_video=3, raw_size=64, seed=3)
+    mix = SyntheticVideos(shape="mix", **kw)
+    duo = SyntheticVideos(shape="duo", **kw)
+    ell = SyntheticVideos(shape="ellipsoid", **kw)
+    for vid, ref in [(0, duo), (2, duo), (1, ell), (3, ell)]:
+        a = mix.render_frame(vid, 1)
+        b = ref.render_frame(vid, 1)
+        for x, y in zip(a[:3], b[:3]):  # img, mask, depth
+            np.testing.assert_allclose(np.asarray(x, np.float32),
+                                       np.asarray(y, np.float32),
+                                       atol=1e-6)
+        np.testing.assert_allclose(mix.canonical_box(vid)[1],
+                                   ref.canonical_box(vid)[1])
+    assert all(len(mix.parts(v)) == 2 for v in range(4))
