@@ -78,6 +78,20 @@ ARM_SETS = {
                                   "dino_attn_bf16": True}),
         ("baseline(recheck)", {}),
     ],
+    # Round 5: the 4k-iter synthetic accuracy A/B (.valsynth_r5 dctrl vs
+    # dbf16, PERF.md round 5) cleared bf16 attention scores on accuracy —
+    # worst case (random-init features), trajectories within noise. This
+    # set settles WHICH carrier of attn_bf16 wins at the step level: the
+    # plain XLA attention path (what the accuracy arm ran) or
+    # flash+pad_once (where the 51.9 -> 39.4 ms isolated-trunk win was
+    # measured, configs.py dino_attn_bf16).
+    "attnbf16": [
+        ("baseline(f32-scores)", {}),
+        ("attn_bf16(xla)", {"dino_attn_bf16": True}),
+        ("attn_bf16+fl+po", {"dino_attn_bf16": True, "dino_flash": True,
+                             "dino_pad_once": True}),
+        ("baseline(recheck)", {}),
+    ],
 }
 
 
