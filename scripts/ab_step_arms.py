@@ -108,7 +108,8 @@ def main():
         results[tag], losses[tag] = time_step(cfg, tag)
 
     print("\n=== summary (raw train step, B=32 @ 256^2) ===")
-    base = max(results["baseline(xla-attn)"], results["baseline(recheck)"])
+    # A-B-A convention: first and last arms are the baseline pair
+    base = max(results[arms[0][0]], results[arms[-1][0]])
     for tag, _ in arms:
         d = results[tag] - base
         print(f"{tag:24s} {results[tag]:7.1f} imgs/s  ({d:+.1f} vs best "

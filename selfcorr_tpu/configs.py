@@ -203,19 +203,23 @@ class Config:
     ransac_iters: int = 100
     pose_fit_max_points: int = 16384      # padded point budget for pose fit
     use_pallas: bool = True
-    dino_flash: bool = False  # pallas TPU flash attention inside the frozen
-                             # DINO trunk (models/vit.py). ISOLATED trunk
-                             # win (57.6 -> 51.9 ms at the best tile size,
-                             # B=32, v5e, scripts/ab_flash_attention.py; the
-                             # library-default 128 tiles are 2x SLOWER) that
-                             # INVERTS in the full step: 263.9 ms off vs
-                             # 270.1/273.5 ms on (back-to-back A/B) — the
-                             # pad/transpose layout boundaries around the
-                             # kernel cost more than the saved score
-                             # traffic, the same failure mode as dino_bf16.
-                             # Keep off; auto-falls back to XLA attention
-                             # off-TPU anyway (CPU tests/dryruns).
-    dino_pad_once: bool = False  # with dino_flash: pad tokens 1025 -> 1152
+    dino_flash: bool = True  # pallas TPU flash attention inside the frozen
+                             # DINO trunk (models/vit.py). History: isolated
+                             # trunk win (57.6 -> 51.9 ms at the best tile
+                             # size, B=32, v5e, ab_flash_attention.py) that
+                             # INVERTED in the full step at f32 (round 3:
+                             # boundary/layout cost; pad_once then recovered
+                             # it to exact parity in round 4). Round 5: with
+                             # bf16 scores cleared on ACCURACY (4k-recipe
+                             # A/B, PERF.md), flash+pad_once is the carrier
+                             # that monetizes them — step 155.6 imgs/s vs
+                             # 146.2/147.2 f32 baseline A-B-A
+                             # (ab_step_arms.py attnbf16); default ON with
+                             # dino_pad_once + dino_attn_bf16. Auto-falls
+                             # back to XLA attention off-TPU (CPU tests/
+                             # dryruns), where attn_bf16 alone still
+                             # applies.
+    dino_pad_once: bool = True  # with dino_flash: pad tokens 1025 -> 1152
                              # ONCE at trunk entry (segment ids mask the pad
                              # keys) instead of pad/slice around every flash
                              # call — moves the layout boundary the round-3
@@ -226,20 +230,27 @@ class Config:
                              # flash+pad_once 117.9 imgs/s — pad_once
                              # recovers the flash boundary penalty exactly,
                              # landing at PARITY with XLA's materialized
-                             # attention. Empirical conclusion: XLA's path
-                             # is already optimal at these shapes; both
-                             # flags stay off. Trunk-level equivalence is
-                             # pinned on CPU by test_dino_cycle.py::
+                             # attention at f32. Round 5: with bf16 scores
+                             # it WINS (see dino_flash above) — default ON.
+                             # Trunk-level equivalence is pinned on CPU by
+                             # test_dino_cycle.py::
                              # test_pad_once_matches_default_trunk.
-    dino_attn_bf16: bool = False  # bf16 scores/softmax INSIDE attention
+    dino_attn_bf16: bool = True  # bf16 scores/softmax INSIDE attention
                              # only (tensors at rest stay f32 — not the
-                             # rejected whole-trunk dino_bf16 cast). Fast:
-                             # trunk 51.9 -> 39.4 ms with dino_flash. But
-                             # LOOSE: 0.25 max-rel feature drift after 9
-                             # blocks of compounding (random-init trunk,
-                             # scripts/ab_flash_attention.py) vs the
-                             # reference's TF32 (10-bit) scores — keep off
-                             # unless validated on real DINO weights.
+                             # rejected whole-trunk dino_bf16 cast). Round 4
+                             # rejected this on random-init feature DRIFT
+                             # (0.25 max-rel after 9 blocks) vs the
+                             # reference's TF32 (10-bit) scores; round 5 ran
+                             # the question that matters — ACCURACY at
+                             # recipe scale (4k flagship prefix, shared warm
+                             # start, .valsynth_r5): trajectories within
+                             # noise, bf16 marginally AHEAD at 4k (97.5 vs
+                             # 98.6 median deg; PERF.md round 5). Random
+                             # init is the worst case for score drift, so
+                             # the clearance transfers to real weights.
+                             # Speed lives on the flash+pad_once carrier:
+                             # step 155.6 vs 146.2/147.2 (A-B-A); the XLA
+                             # carrier is a 131.1 trap (boundary casts).
     dino_bf16: bool = False  # bfloat16 frozen-DINO trunk. Measured THREE
                              # times as a trap: the ISOLATED trunk forward is
                              # ~1.4x faster in bf16 (57.5 -> 40.4 ms, v5e
